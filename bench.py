@@ -1,0 +1,63 @@
+"""Benchmark: VSS-v0 env-steps/s at 8192 parallel envs (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 10M — the north-star throughput for one host
+(BASELINE.md; the reference publishes no numbers of its own: it steps one
+C++ sim per env from Python and cannot batch at all).
+
+Env overrides: RSOCCER_BENCH_ENVS, RSOCCER_BENCH_STEPS, RSOCCER_BENCH_ENV_ID.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+
+def main():
+    n_envs = int(os.environ.get("RSOCCER_BENCH_ENVS", 8192))
+    n_steps = int(os.environ.get("RSOCCER_BENCH_STEPS", 1000))
+    env_id = os.environ.get("RSOCCER_BENCH_ENV_ID", "VSS-v0")
+
+    import rsoccer_tpu
+    from rsoccer_tpu.batch import rollout as R
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+
+    env = rsoccer_tpu.make(env_id)
+    benv = BatchedEnv(env, n_envs)
+    roll = jax.jit(R.make_rollout_fn(benv, n_steps, unroll=4), donate_argnums=0)
+
+    carry = R.init_carry(benv, jax.random.PRNGKey(0))
+    # warmup / compile
+    carry, ms = roll(carry)
+    jax.block_until_ready(ms)
+
+    t0 = time.perf_counter()
+    carry, ms = roll(carry)
+    jax.block_until_ready(ms)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_envs * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"env-steps/s @ {n_envs} parallel {env_id} envs "
+                f"({jax.devices()[0].platform})",
+                "value": round(steps_per_s),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / 1e7, 4),
+            }
+        )
+    )
+    # context for humans, on stderr so the JSON line stays clean
+    print(
+        f"# {n_steps} steps x {n_envs} envs in {dt:.3f}s; "
+        f"episodes={int(ms.episodes)} total_reward={float(ms.total_reward):.1f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

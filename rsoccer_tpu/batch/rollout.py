@@ -1,0 +1,80 @@
+"""On-device rollout driver: ``lax.scan`` over batched env steps.
+
+Replaces the reference's host-side Python step loop (README.md:116-133 rollout
+example; per-step C++ boundary crossings at vss_gym_base.py:72-90) with a
+single compiled program: policy -> physics -> obs/reward/done -> auto-reset,
+iterated T times with zero host synchronisation and donated state buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rsoccer_tpu.batch.vecenv import BatchedEnv, split_keys
+
+
+class RolloutCarry(NamedTuple):
+    state: object  # batched env state (batch-last leaves)
+    obs: jnp.ndarray  # (obs_size, B) lane-layout observations
+    keys: jnp.ndarray  # (B, 2) per-env PRNG keys
+
+
+class RolloutMetrics(NamedTuple):
+    total_reward: jnp.ndarray  # scalar — summed over steps and envs
+    episodes: jnp.ndarray  # scalar — number of episode ends observed
+
+
+def init_carry(benv: BatchedEnv, key) -> RolloutCarry:
+    reset_key, carry_key = jax.random.split(key)
+    state, obs = benv.reset(reset_key)
+    return RolloutCarry(state, obs, jax.random.split(carry_key, benv.n_envs))
+
+
+def uniform_policy(action_size: int):
+    """Random policy in [-1, 1], lane layout (A, B)."""
+
+    def policy(key, obs):
+        b = obs.shape[-1]
+        return jax.random.uniform(key, (action_size, b), minval=-1.0, maxval=1.0)
+
+    return policy
+
+
+def make_rollout_fn(
+    benv: BatchedEnv,
+    n_steps: int,
+    policy: Callable | None = None,
+    unroll: int = 4,
+):
+    """Build ``rollout(carry) -> (carry, metrics)`` running ``n_steps``
+    batched steps fully on-device.  Jit with ``donate_argnums=0``.
+
+    ``policy(key, obs) -> actions`` sees lane-layout obs ``(obs_size, B)``
+    and must return ``(action_size, B)``.
+    """
+    if policy is None:
+        policy = uniform_policy(benv.action_size)
+
+    def one_step(carry: RolloutCarry, _):
+        step_keys, next_keys = split_keys(carry.keys)
+        actions = policy(step_keys[0], carry.obs)
+        state, obs, reward, term, trunc, info = benv.step(
+            carry.state, actions, step_keys
+        )
+        metrics = RolloutMetrics(
+            total_reward=jnp.sum(reward),
+            episodes=jnp.sum((term | trunc).astype(jnp.int32)),
+        )
+        return RolloutCarry(state, obs, next_keys), metrics
+
+    def rollout(carry: RolloutCarry):
+        carry, ms = jax.lax.scan(one_step, carry, None, length=n_steps, unroll=unroll)
+        return carry, RolloutMetrics(
+            total_reward=jnp.sum(ms.total_reward),
+            episodes=jnp.sum(ms.episodes),
+        )
+
+    return rollout

@@ -1,0 +1,64 @@
+"""Functional environment interface with auto-reset.
+
+The reference structures envs as a template-method class hierarchy: the base
+``step`` orchestrates commands -> simulator -> observation -> reward/done
+(vss/vss_gym_base.py:72-90, ssl/ssl_gym_base.py:73-90) and episode truncation
+is supplied externally by gymnasium's ``TimeLimit`` via the registry's
+``max_episode_steps`` (rsoccer_gym/__init__.py:3-30).
+
+Here an env is a plain object holding only static Python constants whose
+methods are *pure functions*:
+
+    reset(key)                 -> (state, obs)
+    step_env(state, act, key)  -> (state, obs, reward, terminated, info)
+    step(state, act, key)      -> (state, obs, reward, terminated, truncated, info)
+
+``step`` folds the TimeLimit truncation and auto-reset in: when an episode
+ends, the returned state/obs are those of a freshly reset episode (the
+returned reward/flags/info still describe the ending step).  Everything is
+branch-free so the step jits, vmaps, and scans.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Env:
+    """Base class — subclasses define obs_size/action_size/max_episode_steps
+    and implement reset/step_env as pure functions of (state, action, key)."""
+
+    obs_size: int
+    action_size: int
+    max_episode_steps: int
+
+    # -- to implement ------------------------------------------------------
+    def reset(self, key) -> Tuple[Any, jnp.ndarray]:
+        raise NotImplementedError
+
+    def step_env(self, state, action, key):
+        raise NotImplementedError
+
+    # -- provided ----------------------------------------------------------
+    def step(self, state, action, key):
+        """step_env + TimeLimit truncation + auto-reset."""
+        key_step, key_reset = jax.random.split(key)
+        ns, obs, reward, terminated, info = self.step_env(state, action, key_step)
+        # gymnasium's TimeLimit sets truncated whenever the step budget is
+        # hit, independently of terminated (both may be True on the same
+        # step) — mirror that.
+        truncated = ns.steps >= self.max_episode_steps
+        done = jnp.logical_or(terminated, truncated)
+        reset_state, reset_obs = self.reset(key_reset)
+        out_state = jax.tree.map(
+            lambda r, n: jnp.where(done, r, n), reset_state, ns
+        )
+        out_obs = jnp.where(done, reset_obs, obs)
+        return out_state, out_obs, reward, terminated, truncated, info
+
+    # -- conveniences ------------------------------------------------------
+    def zero_info(self) -> Dict[str, jnp.ndarray]:
+        return {}

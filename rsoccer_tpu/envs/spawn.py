@@ -1,0 +1,81 @@
+"""Spawn placement via fixed-shape masked rejection sampling.
+
+The reference rejection-samples spawn positions with an unbounded Python
+``while`` loop over a KD-tree nearest-neighbour query (vss/env_vss/
+vss_gym.py:214-231, ssl_hw_challenge/static_defenders.py:243-252, KD-tree at
+Utils/kdtree.py).  Under ``jit`` that becomes: draw a fixed block of K
+candidates per entity, vectorise the min-distance test against all previously
+placed entities, and take the first valid candidate.  With K=16 and the
+reference's densities (<= 7 discs of separation 0.1-0.2 m on a field of
+>= 1.3 m^2) the probability that no candidate is valid is negligible; if it
+ever happens the first candidate is used (a one-off overlap the physics
+separates on the next step).
+
+The reference seeds spawns from Python's *global* ``random`` module, making
+its seeding decorative (vss_gym.py:199-206 — documented in SURVEY §3.2).  We
+use explicit PRNG keys instead: same distribution, actually reproducible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+N_CANDIDATES = 16
+
+
+def _first_valid(cands_x, cands_y, placed_x, placed_y, placed_mask, min_dist):
+    """Index of the first candidate at least ``min_dist`` from every placed
+    point; 0 if none qualifies. Shapes: cands (K,), placed (M,)."""
+    dx = cands_x[:, None] - placed_x[None, :]
+    dy = cands_y[:, None] - placed_y[None, :]
+    d2 = dx * dx + dy * dy
+    ok_pair = (d2 >= min_dist * min_dist) | ~placed_mask[None, :]
+    ok = jnp.all(ok_pair, axis=1)
+    return jnp.argmax(ok)  # first True, or 0 when all False
+
+
+def sample_separated(
+    key,
+    n_points: int,
+    x_lo: float,
+    x_hi: float,
+    y_lo: float,
+    y_hi: float,
+    min_dist: float,
+    preplaced_x=None,
+    preplaced_y=None,
+):
+    """Sequentially place ``n_points`` uniform points in a box, each at least
+    ``min_dist`` from all previously placed ones (and from the optional
+    preplaced points).  Returns ((n,), (n,)) arrays.
+
+    Mirrors the reference's sequential KD-tree rejection loop
+    (vss_gym.py:214-231) with a fixed candidate budget per point.
+    """
+    n_pre = 0 if preplaced_x is None else len(preplaced_x)
+    total = n_pre + n_points
+    px = jnp.zeros((total,))
+    py = jnp.zeros((total,))
+    mask = jnp.zeros((total,), bool)
+    if n_pre:
+        px = px.at[:n_pre].set(jnp.asarray(preplaced_x))
+        py = py.at[:n_pre].set(jnp.asarray(preplaced_y))
+        mask = mask.at[:n_pre].set(True)
+
+    keys = jax.random.split(key, n_points)
+    for i in range(n_points):
+        kx, ky = jax.random.split(keys[i])
+        cx = jax.random.uniform(kx, (N_CANDIDATES,), minval=x_lo, maxval=x_hi)
+        cy = jax.random.uniform(ky, (N_CANDIDATES,), minval=y_lo, maxval=y_hi)
+        idx = _first_valid(cx, cy, px, py, mask, min_dist)
+        px = px.at[n_pre + i].set(cx[idx])
+        py = py.at[n_pre + i].set(cy[idx])
+        mask = mask.at[n_pre + i].set(True)
+    return px[n_pre:], py[n_pre:]
+
+
+def uniform_angles(key, n: int):
+    """Uniform headings in radians (reference draws degrees in [0, 360),
+    vss_gym.py:205-206 — identical distribution on the circle)."""
+    return jax.random.uniform(key, (n,), minval=0.0, maxval=2.0 * jnp.pi)

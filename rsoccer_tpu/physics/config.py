@@ -1,0 +1,63 @@
+"""Physics coefficients.
+
+The reference delegates dynamics to the out-of-repo C++ rSim engine (ODE
+rigid-body sim, bound at Simulators/rsim.py:2); its friction/restitution/motor
+constants live in that engine's source.  This module is the *specification* of
+our TPU-native 2D dynamics: a documented, tunable coefficient set.  The
+binding contract (command layouts, state layout, units, field params) matches
+the reference exactly; the integrator is our own design — fixed-substep
+semi-implicit Euler with impulse-based circle collisions, written to be
+branch-free and fused by XLA.
+
+All values are plain Python floats, closed over before ``jit`` so XLA
+constant-folds them into the compiled step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    # integration
+    n_substeps: int = 5  # substeps per control step (dt/n each)
+
+    # robot drive response (first-order velocity tracking with accel clamps)
+    robot_accel: float = 5.0  # m/s^2 — max linear accel toward target
+    robot_alpha: float = 100.0  # rad/s^2 — max angular accel toward target
+    lateral_decay: float = 40.0  # 1/s — diff-drive lateral slip decay (VSS)
+
+    # ball
+    ball_friction_decel: float = 0.5  # m/s^2 rolling deceleration
+    ball_mass: float = 0.046
+    robot_mass: float = 0.5
+
+    # restitution
+    rest_ball_wall: float = 0.6
+    rest_ball_robot: float = 0.5
+    rest_robot_robot: float = 0.1
+
+    # robots bounce off walls dead (clamped); ball uses rest_ball_wall
+    # collision shape: robots approximated as discs of radius rbt_radius
+
+    # SSL kicker/dribbler
+    kicker_depth_slack: float = 0.01  # m — contact tolerance beyond kicker face
+    dribbler_pull_accel: float = 40.0  # m/s^2 — spring pull toward kicker face
+    dribbler_damping: float = 30.0  # 1/s — relative-velocity damping when held
+    dribbler_capture_speed: float = 2.0  # m/s — max relative speed to hold
+
+
+VSS_PHYSICS = PhysicsConfig(
+    robot_accel=6.0,
+    robot_alpha=180.0,
+    ball_friction_decel=0.6,
+    robot_mass=0.25,
+)
+
+SSL_PHYSICS = PhysicsConfig(
+    robot_accel=3.5,
+    robot_alpha=50.0,
+    ball_friction_decel=0.35,
+    robot_mass=2.5,
+)

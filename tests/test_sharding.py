@@ -1,0 +1,66 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import rsoccer_tpu
+from rsoccer_tpu.batch import rollout as R
+from rsoccer_tpu.batch.vecenv import BatchedEnv
+from rsoccer_tpu.parallel import mesh as M
+from rsoccer_tpu.parallel.rollout import make_sharded_rollout, shard_carry
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    return jax.devices()[:8]
+
+
+def test_mesh_creation(eight_devices):
+    mesh = M.make_env_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("env",)
+
+
+def test_sharded_rollout_matches_single_device(eight_devices):
+    env = rsoccer_tpu.make("VSS-v0")
+    B = 64
+    benv = BatchedEnv(env, B)
+
+    # single device
+    roll1 = jax.jit(R.make_rollout_fn(benv, 20, unroll=1))
+    c1 = R.init_carry(benv, jax.random.PRNGKey(0))
+    _, m1 = roll1(c1)
+
+    # 8-device mesh
+    mesh = M.make_env_mesh(8)
+    roll8, init8 = make_sharded_rollout(benv, mesh, 20, unroll=1)
+    c8 = init8(jax.random.PRNGKey(0))
+    _, m8 = roll8(c8)
+
+    np.testing.assert_allclose(
+        float(m1.total_reward), float(m8.total_reward), rtol=1e-4
+    )
+    assert int(m1.episodes) == int(m8.episodes)
+
+
+def test_state_actually_sharded(eight_devices):
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 64)
+    mesh = M.make_env_mesh(8)
+    carry = shard_carry(R.init_carry(benv, jax.random.PRNGKey(1)), mesh)
+    obs = carry.obs  # (40, 64)
+    assert len(obs.sharding.device_set) == 8
+    # each shard holds 64/8 = 8 envs of the lane axis
+    shard = obs.addressable_shards[0]
+    assert shard.data.shape == (40, 8)
+
+
+def test_indivisible_batch_rejected(eight_devices):
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 63)
+    mesh = M.make_env_mesh(8)
+    with pytest.raises(ValueError):
+        make_sharded_rollout(benv, mesh, 5)

@@ -1,0 +1,59 @@
+"""Train a PPO agent on VSS-v0, fully on-device.
+
+Usage:
+    python examples/train_ppo_vss.py [--envs 2048] [--updates 50]
+
+Each update is one jitted program: 128 env steps x n_envs transitions,
+GAE, and 4 epochs of minibatched PPO — no host round-trips.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+import rsoccer_tpu
+from rsoccer_tpu.batch.vecenv import BatchedEnv
+from rsoccer_tpu.models.ppo import PPOConfig, PPOTrainer
+from rsoccer_tpu.utils import checkpoint
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", type=int, default=2048)
+    p.add_argument("--updates", type=int, default=50)
+    p.add_argument("--env-id", default="VSS-v0")
+    p.add_argument("--save", default="")
+    args = p.parse_args()
+
+    env = rsoccer_tpu.make(args.env_id)
+    benv = BatchedEnv(env, args.envs)
+    trainer = PPOTrainer(benv, PPOConfig())
+    state = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+
+    steps_per_update = trainer.cfg.rollout_steps * args.envs
+    key = jax.random.PRNGKey(1)
+    for i in range(args.updates):
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, metrics = step(state, k)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+        print(
+            f"update {i:4d}  reward/step {float(metrics['mean_reward']):+.4f}  "
+            f"loss {float(metrics['loss']):+.4f}  "
+            f"env-steps/s {steps_per_update / dt:,.0f}"
+        )
+
+    if args.save:
+        checkpoint.save(args.save, state.params)
+        print(f"saved params to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""SSLDribbling-v0: slalom a 4-gate course while keeping the ball.
+
+Behavioral spec from the reference (ssl/ssl_hw_challenge/dribbling.py):
+
+  - Obs Box(21): checkpoint progress scalar ((count/6)*2 - 1) + ball 4 +
+    blue 8 (infrared reported in {-1, 1}!) + 4 yellows x 2 (:76-104).
+  - Action Box(4): global vx, vy, vtheta, dribbler — no kicker (:49, :106-115).
+  - Reward +1 per checkpoint crossing; the gate automaton over ball-y sign
+    changes within x-windows between the nodes at x = -0.5, -1, -1.5, -2;
+    7 crossings complete the course (:58-64, :156-181).
+  - Termination: any yellow moving (|v| > 0.05 -> collision), robot leaving
+    the margin-1 course box, reverse-crossing the last gate, or count == 7
+    (:142-183).  4800-step TimeLimit (rsoccer_gym/__init__.py:14-18).
+  - Reset is deterministic (:187-202).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rsoccer_tpu.core.state import WorldState
+from rsoccer_tpu.envs.ssl_common import SSLTaskBase
+
+NODES = (-0.5, -1.0, -1.5, -2.0)  # reference :60-63
+MARGIN = 1.0  # reference :64
+
+
+class DribblingState(NamedTuple):
+    world: WorldState
+    steps: jnp.ndarray
+    checkpoints: jnp.ndarray  # int32 count, 0..7
+
+
+class SSLDribblingEnv(SSLTaskBase):
+    obs_size = 21
+    action_size = 4
+    max_episode_steps = 4800  # rsoccer_gym/__init__.py:17
+
+    def __init__(self, field_type: int = 2, time_step: float = 0.025):
+        super().__init__(field_type, n_blue=1, n_yellow=4, time_step=time_step)
+        self.obs_size = 5 + 8 * self.n_blue + 2 * self.n_yellow
+
+    def _observe(self, world: WorldState, checkpoints) -> jnp.ndarray:
+        head = ((checkpoints.astype(jnp.float32) / 6.0) * 2.0) - 1.0  # :80
+        rest = self.observe_standard(world, infrared_low=-1.0)  # :98
+        return jnp.concatenate([head[None], rest]).astype(jnp.float32)
+
+    # ---------------------------------------------------------------- reset
+    def reset(self, key):
+        # deterministic placement (reference :187-202)
+        world = self.make_world(
+            ball_x=-0.1, ball_y=0.0,
+            rx=jnp.asarray([0.0, NODES[0], NODES[1], NODES[2], NODES[3]]),
+            ry=jnp.zeros((5,)),
+            rtheta=jnp.full((5,), jnp.pi),  # 180 degrees
+        )
+        state = DribblingState(
+            world=world,
+            steps=jnp.zeros((), jnp.int32),
+            checkpoints=jnp.zeros((), jnp.int32),
+        )
+        return state, self._observe(world, state.checkpoints)
+
+    # ----------------------------------------------------------------- step
+    def step_env(self, state: DribblingState, action, key):
+        angle = state.world.robots.theta[0]
+        v_x, v_y, v_theta = self.convert_actions(action, angle)
+        commands = self.single_robot_commands(
+            v_x, v_y, v_theta, dribbler=action[3] > 0
+        )
+        world = self._physics(state.world, commands)
+
+        rb = world.robots
+        bx, by = world.ball.x, world.ball.y
+        last_by = state.world.ball.y
+        count = state.checkpoints
+
+        # collision: any yellow robot moving (reference :143-145)
+        collision = jnp.any(
+            (jnp.abs(rb.v_x[1:]) > 0.05) | (jnp.abs(rb.v_y[1:]) > 0.05)
+        )
+
+        # course box (reference :147-152)
+        rx, ry = rb.x[0], rb.y[0]
+        rbt_out = (
+            (rx < NODES[3] - MARGIN) | (rx > MARGIN) | (jnp.abs(ry) > MARGIN)
+        )
+
+        down = (last_by >= 0) & (by < 0)  # y crossed downward
+        up = (last_by < 0) & (by >= 0)  # y crossed upward
+
+        # gate automaton (reference :156-181); active only when the robot is
+        # in bounds (the reference's elif chain)
+        in01 = (bx < NODES[0]) & (bx > NODES[1])
+        in12 = (bx < NODES[1]) & (bx > NODES[2])
+        in23 = (bx < NODES[2]) & (bx > NODES[3])
+        in3m = (bx > NODES[3] - MARGIN) & (bx < NODES[3])
+
+        even_ge2 = (count >= 2) & (count % 2 == 0)
+        odd_ge2 = (count >= 2) & (count % 2 == 1)
+
+        cross0 = (count == 0) & in01 & down
+        cross1 = (count == 1) & in12 & up
+        cross_even = even_ge2 & in23 & down
+        reverse_even = even_ge2 & in23 & up
+        cross_odd = odd_ge2 & in3m & up
+
+        crossed = ~rbt_out & (cross0 | cross1 | cross_even | cross_odd)
+        reversed_gate = ~rbt_out & reverse_even
+
+        new_count = count + jnp.where(crossed, 1, 0)
+        completed = ~rbt_out & cross_even & (new_count == 7)
+
+        reward = jnp.where(crossed, 1.0, 0.0)
+        done = collision | rbt_out | reversed_gate | completed
+
+        ns = DribblingState(
+            world=world, steps=state.steps + 1, checkpoints=new_count
+        )
+        # base-class info is empty for this task (no reward_shaping_total in
+        # the reference — SSLHWDribblingEnv does not override step)
+        info = {}
+        return ns, self._observe(world, new_count), reward, done, info

@@ -1,0 +1,167 @@
+"""SSLStaticDefenders-v0: 1 blue shooter vs 6 static yellow defenders.
+
+Behavioral spec from the reference (ssl/ssl_hw_challenge/static_defenders.py):
+
+  - Obs Box(24): ball 4 + blue 8 (incl. infrared in {0,1}) + 6 yellows x 2
+    (:90-112).
+  - Action Box(5): global vx, vy, vtheta, kick, dribbler fractions; converted
+    to a local velocity command with ||v|| <= 2.5, max_w 10; kick_v_x = 5 if
+    a3 > 0; dribbler if a4 > 0 (:114-148).
+  - Reward: goal +5 terminal; otherwise normalised ball_dist + ball_grad +
+    energy shaping (:65-73, :198-208).
+  - Termination priority chain (:179-197): robot out (x < -0.2 or |y| >
+    half_wid) > robot in GK area > ball out left/side > ball past the right
+    end line (goal iff |y| < goal_width/2).
+  - Reset (:214-254): blue at origin theta=0; ball uniform on the positive
+    half outside the GK area; 6 yellows with 0.2 m separation from
+    ball/blue/each other.
+  - 1000-step TimeLimit with field_type=2 kwargs (rsoccer_gym/__init__.py:7-12).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsoccer_tpu.core.state import WorldState
+from rsoccer_tpu.envs import spawn
+from rsoccer_tpu.envs.ssl_common import SSLTaskBase
+
+_SHAPING_KEYS = (
+    "goal",
+    "rbt_in_gk_area",
+    "done_ball_out",
+    "done_ball_out_right",
+    "done_rbt_out",
+    "ball_dist",
+    "ball_grad",
+    "energy",
+)
+
+
+class SDState(NamedTuple):
+    world: WorldState
+    steps: jnp.ndarray
+    shaping: jnp.ndarray  # (8,) accumulators, order _SHAPING_KEYS
+
+
+class SSLStaticDefendersEnv(SSLTaskBase):
+    obs_size = 24
+    action_size = 5
+    max_episode_steps = 1000  # rsoccer_gym/__init__.py:11
+
+    def __init__(self, field_type: int = 2, time_step: float = 0.025):
+        super().__init__(field_type, n_blue=1, n_yellow=6, time_step=time_step)
+        self.obs_size = 4 + 8 * self.n_blue + 2 * self.n_yellow
+        f = self.field
+        # reward scales (reference static_defenders.py:64-73)
+        self.ball_dist_scale = float(np.linalg.norm([f.width, f.length / 2]))
+        self.ball_grad_scale = float(
+            np.linalg.norm([f.width / 2, f.length / 2]) / 4
+        )
+        self.energy_scale = 160.0 * 4 * 1000  # wheel cap * wheels * steps
+
+    # ---------------------------------------------------------------- reset
+    def reset(self, key):
+        f = self.field
+        half_len, half_wid = f.half_length, f.half_width
+        pen_len, half_pen_wid = f.penalty_length, f.penalty_width / 2
+        k_ball, k_yellow, k_theta = jax.random.split(key, 3)
+
+        # ball: uniform on the attack half, rejected out of the GK area
+        # (reference :234-239) — fixed-candidate version of the while loop
+        bx_c = jax.random.uniform(
+            jax.random.fold_in(k_ball, 0), (spawn.N_CANDIDATES,),
+            minval=0.2, maxval=half_len - 0.1,
+        )
+        by_c = jax.random.uniform(
+            jax.random.fold_in(k_ball, 1), (spawn.N_CANDIDATES,),
+            minval=-half_wid + 0.1, maxval=half_wid - 0.1,
+        )
+        in_gk = (bx_c > half_len - pen_len) & (jnp.abs(by_c) < half_pen_wid)
+        idx = jnp.argmax(~in_gk)
+        ball_x, ball_y = bx_c[idx], by_c[idx]
+
+        # yellows: 0.2 m separation from ball, blue (origin) and each other
+        # (reference :241-252 seeds its KD-tree with ball + blue positions)
+        yx, yy = spawn.sample_separated(
+            k_yellow,
+            n_points=self.n_yellow,
+            x_lo=0.2, x_hi=half_len - 0.1,
+            y_lo=-half_wid + 0.1, y_hi=half_wid - 0.1,
+            min_dist=0.2,
+            preplaced_x=[ball_x, 0.0], preplaced_y=[ball_y, 0.0],
+        )
+
+        thetas = spawn.uniform_angles(k_theta, self.n_yellow)
+        world = self.make_world(
+            ball_x, ball_y,
+            rx=jnp.concatenate([jnp.zeros((1,)), yx]),
+            ry=jnp.concatenate([jnp.zeros((1,)), yy]),
+            rtheta=jnp.concatenate([jnp.zeros((1,)), thetas]),
+        )
+        state = SDState(
+            world=world,
+            steps=jnp.zeros((), jnp.int32),
+            shaping=jnp.zeros((len(_SHAPING_KEYS),)),
+        )
+        return state, self.observe_standard(world)
+
+    # ----------------------------------------------------------------- step
+    def step_env(self, state: SDState, action, key):
+        f = self.field
+        angle = state.world.robots.theta[0]
+        v_x, v_y, v_theta = self.convert_actions(action, angle)
+        commands = self.single_robot_commands(
+            v_x, v_y, v_theta,
+            kick_v_x=jnp.where(action[3] > 0, self.kick_speed_x, 0.0),
+            dribbler=action[4] > 0,
+        )
+        world = self._physics(state.world, commands)
+
+        half_len, half_wid = f.half_length, f.half_width
+        pen_len, half_pen_wid = f.penalty_length, f.penalty_width / 2
+        half_goal_wid = f.goal_width / 2
+        rx, ry = world.robots.x[0], world.robots.y[0]
+        bx, by = world.ball.x, world.ball.y
+
+        # termination priority chain (reference :179-197)
+        c_rbt_out = (rx < -0.2) | (jnp.abs(ry) > half_wid)
+        c_gk = ~c_rbt_out & (rx > half_len - pen_len) & (jnp.abs(ry) < half_pen_wid)
+        c_ball_out = ~c_rbt_out & ~c_gk & ((bx < 0) | (jnp.abs(by) > half_wid))
+        c_ball_right = ~c_rbt_out & ~c_gk & ~c_ball_out & (bx > half_len)
+        goal = c_ball_right & (jnp.abs(by) < half_goal_wid)
+        ball_out_right = c_ball_right & ~goal
+        done = c_rbt_out | c_gk | c_ball_out | c_ball_right
+        shaping_branch = ~done
+
+        ball_dist = self.ball_dist_rw(world, state.world) / self.ball_dist_scale
+        ball_grad = self.ball_grad_rw(world, state.world) / self.ball_grad_scale
+        energy = -self.energy_pen(world) / self.energy_scale
+        shaped = ball_dist + ball_grad + energy
+
+        reward = jnp.where(goal, 5.0, jnp.where(shaping_branch, shaped, 0.0))
+
+        zero = jnp.zeros(())
+        one = jnp.ones(())
+        sb = shaping_branch
+        shaping = state.shaping + jnp.stack(
+            [
+                jnp.where(goal, one, zero),
+                jnp.where(c_gk, one, zero),
+                jnp.where(c_ball_out, one, zero),
+                jnp.where(ball_out_right, one, zero),
+                jnp.where(c_rbt_out, one, zero),
+                jnp.where(sb, ball_dist, zero),
+                jnp.where(sb, ball_grad, zero),
+                jnp.where(sb, energy, zero),
+            ]
+        )
+
+        ns = SDState(world=world, steps=state.steps + 1, shaping=shaping)
+        info = {k: shaping[i] for i, k in enumerate(_SHAPING_KEYS)}
+        return ns, self.observe_standard(world), reward, done, info

@@ -56,6 +56,7 @@ class VSSEnv(Env):
     obs_size = 40
     action_size = 2
     max_episode_steps = 1200  # reference rsoccer_gym/__init__.py:4
+    league = "vss"
 
     def __init__(
         self,

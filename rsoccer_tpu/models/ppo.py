@@ -1,0 +1,226 @@
+"""PPO trainer fused with the on-device rollout.
+
+A full training iteration — T batched env steps, GAE, and K epochs of
+minibatched clipped-surrogate updates — is ONE jitted program: no host
+round-trips, rollout storage lives in (T, ...) scan stacks on-chip, and the
+policy/value matmuls run bf16 on the MXU while the physics runs on the VPU.
+
+Scales by sharding the env batch over the mesh (data parallelism); gradients
+are averaged across shards by jit/XLA automatically when the batch axis is
+sharded (the mean over the batch induces the collective).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rsoccer_tpu.batch.vecenv import BatchedEnv, split_keys
+from rsoccer_tpu.models.networks import (
+    ActorCritic,
+    gaussian_entropy,
+    gaussian_logp,
+    sample_action,
+)
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 128
+    num_epochs: int = 4
+    num_minibatches: int = 8
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    env_state: object  # batched env state (batch-last leaves)
+    obs: jnp.ndarray  # (O, B)
+    env_keys: jnp.ndarray  # (B, 2)
+    update_step: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray  # (B, O)
+    action: jnp.ndarray  # (B, A)
+    logp: jnp.ndarray  # (B,)
+    value: jnp.ndarray  # (B,)
+    reward: jnp.ndarray  # (B,)
+    done: jnp.ndarray  # (B,)
+
+
+class PPOTrainer:
+    def __init__(self, benv: BatchedEnv, config: PPOConfig = PPOConfig()):
+        self.benv = benv
+        self.cfg = config
+        self.net = ActorCritic(action_size=benv.action_size)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr),
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> TrainState:
+        k_net, k_env, k_keys = jax.random.split(key, 3)
+        obs_dummy = jnp.zeros((1, self.benv.obs_size))
+        params = self.net.init(k_net, obs_dummy)
+        env_state, obs = self.benv.reset(k_env)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            env_state=env_state,
+            obs=obs,
+            env_keys=jax.random.split(k_keys, self.benv.n_envs),
+            update_step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _rollout(self, params, env_state, obs, env_keys, key):
+        """Collect cfg.rollout_steps transitions. obs is lane-layout (O, B)."""
+
+        def one_step(carry, step_key):
+            env_state, obs, env_keys = carry
+            mean, log_std, value = self.net.apply(params, obs.T)
+            action, logp = sample_action(step_key, mean, log_std)
+            step_keys, env_keys = split_keys(env_keys)
+            ns, nobs, reward, term, trunc, info = self.benv.step(
+                env_state, action.T, step_keys
+            )
+            t = Transition(
+                obs=obs.T, action=action, logp=logp, value=value,
+                reward=reward, done=(term | trunc).astype(jnp.float32),
+            )
+            return (ns, nobs, env_keys), t
+
+        step_keys = jax.random.split(key, self.cfg.rollout_steps)
+        (env_state, obs, env_keys), traj = jax.lax.scan(
+            one_step, (env_state, obs, env_keys), step_keys
+        )
+        return env_state, obs, env_keys, traj
+
+    def _gae(self, traj: Transition, last_value):
+        cfg = self.cfg
+
+        def backward(carry, t):
+            gae, next_value = carry
+            delta = (
+                t.reward + cfg.gamma * next_value * (1.0 - t.done) - t.value
+            )
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - t.done) * gae
+            return (gae, t.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            backward,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    def _loss(self, params, batch, advantages, returns):
+        cfg = self.cfg
+        mean, log_std, value = self.net.apply(params, batch.obs)
+        logp = gaussian_logp(batch.action, mean, log_std)
+        ratio = jnp.exp(logp - batch.logp)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        unclipped = ratio * adv
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
+        policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+        value_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        entropy = gaussian_entropy(log_std)
+        total = (
+            policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+        )
+        metrics = {
+            "loss": total,
+            "policy_loss": policy_loss,
+            "value_loss": value_loss,
+            "entropy": entropy,
+        }
+        return total, metrics
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, key):
+        """One full PPO iteration; jit this (donate state)."""
+        cfg = self.cfg
+        k_roll, k_perm = jax.random.split(key)
+        env_state, obs, env_keys, traj = self._rollout(
+            state.params, state.env_state, state.obs, state.env_keys, k_roll
+        )
+        _, _, last_value = self.net.apply(state.params, obs.T)
+        advantages, returns = self._gae(traj, last_value)
+
+        # flatten (T, B) -> (N,)
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), traj
+        )
+        adv_f = advantages.reshape(-1)
+        ret_f = returns.reshape(-1)
+        n = adv_f.shape[0]
+        mb = n // cfg.num_minibatches
+
+        def epoch(carry, ek):
+            params, opt_state = carry
+            perm = jax.random.permutation(ek, n)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                take = lambda x: jnp.take(x, idx, axis=0)
+                b = jax.tree.map(take, flat)
+                grads, metrics = jax.grad(self._loss, has_aux=True)(
+                    params, b, take(adv_f), take(ret_f)
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[: mb * cfg.num_minibatches].reshape(
+                cfg.num_minibatches, mb
+            )
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), idxs
+            )
+            return (params, opt_state), metrics
+
+        eks = jax.random.split(k_perm, cfg.num_epochs)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (state.params, state.opt_state), eks
+        )
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            env_keys=env_keys,
+            update_step=state.update_step + 1,
+        )
+        out_metrics = {
+            **jax.tree.map(lambda m: m[-1, -1], metrics),
+            "mean_reward": traj.reward.mean(),
+            "mean_episode_ends": traj.done.sum(),
+        }
+        return new_state, out_metrics
+
+    def make_policy(self, params, deterministic: bool = True):
+        """Lane-layout policy fn usable with batch.rollout drivers."""
+
+        def policy(key, obs):
+            mean, log_std, _ = self.net.apply(params, obs.T)
+            if deterministic:
+                return mean.T
+            action, _ = sample_action(key, mean, log_std)
+            return action.T
+
+        return policy

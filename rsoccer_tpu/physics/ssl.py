@@ -1,0 +1,197 @@
+"""SSL omnidirectional world step: 4-omni drive, kicker, dribbler, infrared.
+
+TPU-native replacement for the dynamics the reference gets from
+``robosim.SSL.step``.  The binding contract matches Simulators/rsim.py:128-155
+exactly: per-robot commands are either four wheel-speed targets (rad/s) or a
+local-frame velocity target, selected by the ``wheel_speed`` flag, plus
+``kick_v_x``/``kick_v_z``/``dribbler`` channels; the reported state adds the
+infrared ball-contact bit and achieved wheel speeds (Entities/Frame.py:52-93).
+
+Drive model: the local-frame velocity target (from either command mode) is
+tracked under acceleration clamps.  Wheel-speed commands map to a body
+velocity via the least-squares inverse of the wheel jacobian (the standard
+omni-drive kinematics for the mount angles in FieldParams); achieved wheel
+speeds are reported through the forward jacobian.
+
+Kicker: when the ball touches the kicker face (infrared) and ``kick_v_x > 0``
+the ball's velocity along the robot heading is set to ``kick_v_x``.
+``kick_v_z`` is accepted for contract parity but the ball is 2D — chip kicks
+behave as flat kicks (documented divergence; no reference task distinguishes
+them: all tasks command kick_v_z = 0).
+
+Dribbler: a spring-damper pull toward the kicker face while in the capture
+zone — ball remains stealable by impulse, matching the contested-possession
+task's premise.
+
+SSL fields have no physical walls in play (episodes end on out-of-bounds in
+every reference SSL task before walls could matter), so the ball and robots
+move freely beyond the lines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from rsoccer_tpu.core.field import FieldParams
+from rsoccer_tpu.core.state import BallState, RobotsState, SSLCommands, WorldState
+from rsoccer_tpu.physics import common
+from rsoccer_tpu.physics.config import PhysicsConfig
+
+
+def wheel_jacobian(field: FieldParams):
+    """(4, 3) map from local (vx, vy, w) to wheel surface speeds (m/s).
+
+    Wheel i mounted at angle phi_i from the heading, rolling along the
+    tangent direction: surface speed = -sin(phi)*vx + cos(phi)*vy + R*w.
+    """
+    phis = [
+        math.radians(field.rbt_wheel0_angle),
+        math.radians(field.rbt_wheel1_angle),
+        math.radians(field.rbt_wheel2_angle),
+        math.radians(field.rbt_wheel3_angle),
+    ]
+    rows = [[-math.sin(p), math.cos(p), field.rbt_radius] for p in phis]
+    import numpy as np
+
+    return np.asarray(rows, dtype=np.float32)
+
+
+def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
+    """Build ``step(world, commands) -> world`` with all constants folded."""
+    import numpy as np
+
+    dts = dt / cfg.n_substeps
+    a_lin = cfg.robot_accel * dts
+    a_ang = cfg.robot_alpha * dts
+    max_wheel = field.max_wheel_rad_s
+    wheel_r = field.rbt_wheel_radius
+
+    J = wheel_jacobian(field)  # (4,3) local vel -> wheel m/s
+    J_pinv = np.linalg.pinv(J)  # (3,4) wheel m/s -> local vel (least squares)
+
+    # kicker face geometry
+    face_dist = field.rbt_distance_center_kicker  # center -> face
+    half_kick_w = field.rbt_kicker_width / 2
+    contact_lo = face_dist - field.rbt_kicker_thickness - field.ball_radius
+    contact_hi = face_dist + field.ball_radius + cfg.kicker_depth_slack
+
+    def local_targets(commands: SSLCommands):
+        """Resolve the 8-slot command contract into local velocity targets
+        (reference slot semantics: Simulators/rsim.py:137-153)."""
+        vw = jnp.clip(commands.v_wheel, -max_wheel, max_wheel)  # (N,4)
+        wheel_ms = vw * wheel_r  # wheel surface speeds
+        from_wheels = wheel_ms @ J_pinv.T  # (N,3) local (vx, vy, w)
+        direct = jnp.stack([commands.v_x, commands.v_y, commands.v_theta], -1)
+        return jnp.where(commands.wheel_speed[:, None], from_wheels, direct)
+
+    def ball_contact(rb_x, rb_y, rb_theta, bx, by):
+        """Infrared predicate: ball center inside the kicker face zone."""
+        cos_t = jnp.cos(rb_theta)
+        sin_t = jnp.sin(rb_theta)
+        dx = bx - rb_x
+        dy = by - rb_y
+        lx = dx * cos_t + dy * sin_t  # along heading
+        ly = -dx * sin_t + dy * cos_t  # lateral
+        return (lx >= contact_lo) & (lx <= contact_hi) & (jnp.abs(ly) <= half_kick_w)
+
+    def substep(world: WorldState, tgt, commands: SSLCommands) -> WorldState:
+        rb = world.robots
+        ball = world.ball
+        cos_t = jnp.cos(rb.theta)
+        sin_t = jnp.sin(rb.theta)
+
+        # --- drive: track local-frame target under accel clamps
+        u = rb.v_x * cos_t + rb.v_y * sin_t
+        s = -rb.v_x * sin_t + rb.v_y * cos_t
+        u = u + jnp.clip(tgt[:, 0] - u, -a_lin, a_lin)
+        s = s + jnp.clip(tgt[:, 1] - s, -a_lin, a_lin)
+        w = rb.v_theta + jnp.clip(tgt[:, 2] - rb.v_theta, -a_ang, a_ang)
+
+        theta = common.wrap_angle(rb.theta + w * dts)
+        cos_n = jnp.cos(theta)
+        sin_n = jnp.sin(theta)
+        v_x = u * cos_n - s * sin_n
+        v_y = u * sin_n + s * cos_n
+        x = rb.x + v_x * dts
+        y = rb.y + v_y * dts
+
+        x, y, v_x, v_y = common.resolve_robot_robot(
+            x, y, v_x, v_y, field.rbt_radius, cfg.rest_robot_robot
+        )
+
+        # --- ball: friction, dribbler pull, integrate, collide, kick
+        bvx, bvy = common.apply_ball_friction(
+            ball.v_x, ball.v_y, cfg.ball_friction_decel, dts
+        )
+
+        contact = ball_contact(x, y, theta, ball.x, ball.y)
+        held = contact & commands.dribbler
+        # spring-damper toward each holding robot's face point (at most one
+        # robot can satisfy the contact predicate for a single ball in
+        # practice; contributions sum)
+        face_x = x + face_dist * cos_n
+        face_y = y + face_dist * sin_n
+        rel_vx = bvx - v_x
+        rel_vy = bvy - v_y
+        rel_speed = jnp.sqrt(rel_vx**2 + rel_vy**2)
+        can_hold = held & (rel_speed < cfg.dribbler_capture_speed)
+        pull_x = jnp.sum(
+            jnp.where(
+                can_hold,
+                cfg.dribbler_pull_accel * (face_x - ball.x)
+                - cfg.dribbler_damping * rel_vx,
+                0.0,
+            )
+        )
+        pull_y = jnp.sum(
+            jnp.where(
+                can_hold,
+                cfg.dribbler_pull_accel * (face_y - ball.y)
+                - cfg.dribbler_damping * rel_vy,
+                0.0,
+            )
+        )
+        bvx = bvx + pull_x * dts
+        bvy = bvy + pull_y * dts
+
+        bx = ball.x + bvx * dts
+        by = ball.y + bvy * dts
+        bx, by, bvx, bvy = common.resolve_ball_robots(
+            bx, by, bvx, bvy, x, y, v_x, v_y,
+            field.rbt_radius, field.ball_radius, cfg.rest_ball_robot,
+        )
+
+        # kick: replace the heading-aligned velocity component
+        contact_after = ball_contact(x, y, theta, bx, by)
+        kicking = contact_after & (commands.kick_v_x > 0.0)
+        kvx = jnp.sum(jnp.where(kicking, commands.kick_v_x * cos_n, 0.0))
+        kvy = jnp.sum(jnp.where(kicking, commands.kick_v_x * sin_n, 0.0))
+        any_kick = jnp.any(kicking)
+        bvx = jnp.where(any_kick, kvx, bvx)
+        bvy = jnp.where(any_kick, kvy, bvy)
+
+        return WorldState(
+            ball=BallState(x=bx, y=by, v_x=bvx, v_y=bvy),
+            robots=RobotsState(
+                x=x, y=y, theta=theta, v_x=v_x, v_y=v_y, v_theta=w,
+                infrared=contact_after, v_wheel=rb.v_wheel,
+            ),
+        )
+
+    def step(world: WorldState, commands: SSLCommands) -> WorldState:
+        tgt = local_targets(commands)
+        for _ in range(cfg.n_substeps):
+            world = substep(world, tgt, commands)
+        # achieved wheel speeds via forward jacobian of the actual body vel
+        rb = world.robots
+        cos_t = jnp.cos(rb.theta)
+        sin_t = jnp.sin(rb.theta)
+        u = rb.v_x * cos_t + rb.v_y * sin_t
+        s = -rb.v_x * sin_t + rb.v_y * cos_t
+        local = jnp.stack([u, s, rb.v_theta], -1)  # (N,3)
+        v_wheel = (local @ J.T) / wheel_r  # (N,4) rad/s
+        return world._replace(robots=rb._replace(v_wheel=v_wheel))
+
+    return step

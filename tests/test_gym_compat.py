@@ -1,0 +1,104 @@
+"""Gymnasium-compat wrapper tests: the reference's user-facing surface."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register():
+    from rsoccer_tpu.gym_compat import register_gymnasium
+
+    register_gymnasium()
+
+
+def test_gym_make_vss():
+    import gymnasium as gym
+
+    env = gym.make("VSS-v0")
+    obs, info = env.reset(seed=42)
+    assert obs.shape == (40,)
+    assert env.action_space.shape == (2,)
+    obs, reward, terminated, truncated, info = env.step(
+        np.array([0.5, -0.5], dtype=np.float32)
+    )
+    assert obs.shape == (40,)
+    assert isinstance(reward, float)
+    assert isinstance(terminated, bool) and isinstance(truncated, bool)
+    assert "goal_score" in info
+    env.close()
+
+
+def test_seeding_is_reproducible():
+    import gymnasium as gym
+
+    a = gym.make("VSS-v0")
+    b = gym.make("VSS-v0")
+    oa, _ = a.reset(seed=7)
+    ob, _ = b.reset(seed=7)
+    np.testing.assert_array_equal(oa, ob)
+    ra = rb = 0.0
+    for _ in range(5):
+        act = np.array([0.3, 0.3], dtype=np.float32)
+        oa, r1, *_ = a.step(act)
+        ob, r2, *_ = b.step(act)
+        np.testing.assert_array_equal(oa, ob)
+        assert r1 == r2
+    a.close(); b.close()
+
+
+def test_frame_view_degrees():
+    import gymnasium as gym
+
+    env = gym.make("VSS-v0")
+    env.reset(seed=0)
+    frame = env.unwrapped.frame
+    assert frame.ball.x is not None
+    assert len(frame.robots_blue) == 3
+    assert len(frame.robots_yellow) == 3
+    for rb in frame.robots_blue.values():
+        assert 0.0 <= rb.theta < 360.0  # degrees at the API edge
+        assert rb.yellow is False
+    env.close()
+
+
+def test_all_ids_make_and_step():
+    import gymnasium as gym
+
+    specs = {
+        "VSS-v0": (40, 2),
+        "SSLStaticDefenders-v0": (24, 5),
+        "SSLDribbling-v0": (21, 4),
+        "SSLContestedPossession-v0": (14, 5),
+        "SSLPassEndurance-v0": (16, 3),
+    }
+    for env_id, (obs_n, act_n) in specs.items():
+        env = gym.make(env_id)
+        obs, _ = env.reset(seed=1)
+        assert obs.shape == (obs_n,), env_id
+        act = np.zeros(act_n, dtype=np.float32)
+        obs, r, term, trunc, info = env.step(act)
+        assert obs.shape == (obs_n,), env_id
+        env.close()
+
+
+def test_rgb_array_render():
+    import gymnasium as gym
+
+    env = gym.make("VSS-v0", render_mode="rgb_array")
+    env.reset(seed=0)
+    img = env.render()
+    assert img is not None
+    assert img.ndim == 3 and img.shape[2] == 3
+    # field background green must dominate
+    assert img.shape[0] > 100 and img.shape[1] > 100
+    env.close()
+
+
+def test_ssl_render():
+    import gymnasium as gym
+
+    env = gym.make("SSLStaticDefenders-v0", render_mode="rgb_array")
+    env.reset(seed=0)
+    img = env.render()
+    assert img is not None and img.ndim == 3
+    env.close()

@@ -1,0 +1,99 @@
+"""Cross-validation: the C++ oracle and the JAX VSS kernel implement the same
+physics spec — they must agree to vector-math tolerance on random worlds."""
+
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsoccer_tpu.core.field import vss_field
+from rsoccer_tpu.core.state import BallState, RobotsState, VSSCommands, WorldState
+from rsoccer_tpu.physics.config import VSS_PHYSICS
+from rsoccer_tpu.physics.vss import make_vss_step
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+FIELD = vss_field(0)
+DT = 0.025
+
+
+def random_world(rng, n=6):
+    ball = np.array(
+        [rng.uniform(-0.6, 0.6), rng.uniform(-0.5, 0.5),
+         rng.uniform(-1, 1), rng.uniform(-1, 1)],
+        np.float32,
+    )
+    robots = np.zeros((n, 6), np.float32)
+    robots[:, 0] = rng.uniform(-0.6, 0.6, n)
+    robots[:, 1] = rng.uniform(-0.5, 0.5, n)
+    robots[:, 2] = rng.uniform(-np.pi, np.pi, n)
+    robots[:, 3:5] = rng.uniform(-0.5, 0.5, (n, 2))
+    robots[:, 5] = rng.uniform(-5, 5, n)
+    return ball, robots
+
+
+def jax_world(ball, robots):
+    n = robots.shape[0]
+    return WorldState(
+        ball=BallState(
+            x=jnp.asarray(ball[0]), y=jnp.asarray(ball[1]),
+            v_x=jnp.asarray(ball[2]), v_y=jnp.asarray(ball[3]),
+        ),
+        robots=RobotsState(
+            x=jnp.asarray(robots[:, 0]), y=jnp.asarray(robots[:, 1]),
+            theta=jnp.asarray(robots[:, 2]), v_x=jnp.asarray(robots[:, 3]),
+            v_y=jnp.asarray(robots[:, 4]), v_theta=jnp.asarray(robots[:, 5]),
+            infrared=jnp.zeros((n,), bool), v_wheel=jnp.zeros((n, 4)),
+        ),
+    )
+
+
+def test_oracle_matches_jax_step():
+    from rsoccer_tpu.ops.native import vss_step_native
+
+    step = make_vss_step(FIELD, VSS_PHYSICS, DT)
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        ball, robots = random_world(rng)
+        cmds = rng.uniform(-40, 40, (6, 2)).astype(np.float32)
+
+        w = jax_world(ball, robots)
+        w2 = step(w, VSSCommands(jnp.asarray(cmds[:, 0]), jnp.asarray(cmds[:, 1])))
+
+        b_c, r_c = ball.copy(), robots.copy()
+        vss_step_native(FIELD, VSS_PHYSICS, DT, b_c, r_c, cmds)
+
+        np.testing.assert_allclose(
+            b_c, np.array([w2.ball.x, w2.ball.y, w2.ball.v_x, w2.ball.v_y]),
+            atol=2e-4, err_msg=f"trial {trial} ball",
+        )
+        got = np.stack(
+            [w2.robots.x, w2.robots.y, w2.robots.theta,
+             w2.robots.v_x, w2.robots.v_y, w2.robots.v_theta], axis=-1
+        )
+        np.testing.assert_allclose(
+            r_c, got, atol=2e-4, err_msg=f"trial {trial} robots"
+        )
+
+
+def test_oracle_matches_over_trajectory():
+    from rsoccer_tpu.ops.native import vss_step_native
+
+    step = make_vss_step(FIELD, VSS_PHYSICS, DT)
+    rng = np.random.default_rng(1)
+    ball, robots = random_world(rng)
+    cmds = rng.uniform(-30, 30, (6, 2)).astype(np.float32)
+    w = jax_world(ball, robots)
+    b_c, r_c = ball.copy(), robots.copy()
+    for t in range(40):  # 1 s of simulation
+        w = step(w, VSSCommands(jnp.asarray(cmds[:, 0]), jnp.asarray(cmds[:, 1])))
+        vss_step_native(FIELD, VSS_PHYSICS, DT, b_c, r_c, cmds)
+    np.testing.assert_allclose(
+        b_c[:2], np.array([w.ball.x, w.ball.y]), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        r_c[:, :2], np.stack([w.robots.x, w.robots.y], -1), atol=5e-3
+    )

@@ -18,7 +18,9 @@ import jax
 
 def main():
     n_envs = int(os.environ.get("RSOCCER_BENCH_ENVS", 8192))
-    n_steps = int(os.environ.get("RSOCCER_BENCH_STEPS", 1000))
+    n_steps = int(os.environ.get("RSOCCER_BENCH_STEPS", 100))
+    n_iters = int(os.environ.get("RSOCCER_BENCH_ITERS", 5))
+    unroll = int(os.environ.get("RSOCCER_BENCH_UNROLL", 1))
     env_id = os.environ.get("RSOCCER_BENCH_ENV_ID", "VSS-v0")
 
     import rsoccer_tpu
@@ -27,7 +29,12 @@ def main():
 
     env = rsoccer_tpu.make(env_id)
     benv = BatchedEnv(env, n_envs)
-    roll = jax.jit(R.make_rollout_fn(benv, n_steps, unroll=4), donate_argnums=0)
+    # modest scan length + repeated calls: same measured steady-state
+    # throughput as one long scan, but a far smaller program to compile
+    # (matters on remote-compile TPU setups)
+    roll = jax.jit(
+        R.make_rollout_fn(benv, n_steps, unroll=unroll), donate_argnums=0
+    )
 
     carry = R.init_carry(benv, jax.random.PRNGKey(0))
     # warmup / compile
@@ -35,9 +42,11 @@ def main():
     jax.block_until_ready(ms)
 
     t0 = time.perf_counter()
-    carry, ms = roll(carry)
+    for _ in range(n_iters):
+        carry, ms = roll(carry)
     jax.block_until_ready(ms)
     dt = time.perf_counter() - t0
+    n_steps = n_steps * n_iters
 
     steps_per_s = n_envs * n_steps / dt
     print(
@@ -53,7 +62,7 @@ def main():
     )
     # context for humans, on stderr so the JSON line stays clean
     print(
-        f"# {n_steps} steps x {n_envs} envs in {dt:.3f}s; "
+        f"# {n_steps} steps x {n_envs} envs in {dt:.3f}s; last-iter "
         f"episodes={int(ms.episodes)} total_reward={float(ms.total_reward):.1f}",
         file=sys.stderr,
     )

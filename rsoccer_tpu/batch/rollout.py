@@ -20,17 +20,33 @@ class RolloutCarry(NamedTuple):
     state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (obs_size, B) lane-layout observations
     keys: jnp.ndarray  # (B, 2) per-env PRNG keys
+    ep_return: jnp.ndarray  # (B,) running return of the current episode
+    ep_length: jnp.ndarray  # (B,) running length of the current episode
 
 
 class RolloutMetrics(NamedTuple):
     total_reward: jnp.ndarray  # scalar — summed over steps and envs
     episodes: jnp.ndarray  # scalar — number of episode ends observed
+    episode_return_sum: jnp.ndarray  # scalar — sum of completed returns
+    episode_length_sum: jnp.ndarray  # scalar — sum of completed lengths
+
+    @property
+    def mean_episode_return(self):
+        return self.episode_return_sum / jnp.maximum(self.episodes, 1)
+
+    @property
+    def mean_episode_length(self):
+        return self.episode_length_sum / jnp.maximum(self.episodes, 1)
 
 
 def init_carry(benv: BatchedEnv, key) -> RolloutCarry:
     reset_key, carry_key = jax.random.split(key)
     state, obs = benv.reset(reset_key)
-    return RolloutCarry(state, obs, jax.random.split(carry_key, benv.n_envs))
+    b = benv.n_envs
+    return RolloutCarry(
+        state, obs, jax.random.split(carry_key, b),
+        jnp.zeros((b,)), jnp.zeros((b,)),
+    )
 
 
 def uniform_policy(action_size: int):
@@ -64,17 +80,21 @@ def make_rollout_fn(
         state, obs, reward, term, trunc, info = benv.step(
             carry.state, actions, step_keys
         )
+        done = term | trunc
+        ep_ret = carry.ep_return + reward
+        ep_len = carry.ep_length + 1.0
         metrics = RolloutMetrics(
             total_reward=jnp.sum(reward),
-            episodes=jnp.sum((term | trunc).astype(jnp.int32)),
+            episodes=jnp.sum(done.astype(jnp.int32)),
+            episode_return_sum=jnp.sum(jnp.where(done, ep_ret, 0.0)),
+            episode_length_sum=jnp.sum(jnp.where(done, ep_len, 0.0)),
         )
-        return RolloutCarry(state, obs, next_keys), metrics
+        ep_ret = jnp.where(done, 0.0, ep_ret)
+        ep_len = jnp.where(done, 0.0, ep_len)
+        return RolloutCarry(state, obs, next_keys, ep_ret, ep_len), metrics
 
     def rollout(carry: RolloutCarry):
         carry, ms = jax.lax.scan(one_step, carry, None, length=n_steps, unroll=unroll)
-        return carry, RolloutMetrics(
-            total_reward=jnp.sum(ms.total_reward),
-            episodes=jnp.sum(ms.episodes),
-        )
+        return carry, jax.tree.map(jnp.sum, ms)
 
     return rollout

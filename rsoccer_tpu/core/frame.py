@@ -99,3 +99,12 @@ def frame_from_world(world, n_blue: int, n_yellow: int) -> Frame:
     for j in range(n_yellow):
         frame.robots_yellow[j] = mk(n_blue + j, True, j)
     return frame
+
+
+def frame_from_batched(world, env_index: int, n_blue: int, n_yellow: int) -> Frame:
+    """Frame view of env ``env_index`` of a lane-layout batched WorldState
+    (every leaf carries a trailing batch axis)."""
+    import jax
+
+    single = jax.tree.map(lambda leaf: leaf[..., env_index], world)
+    return frame_from_world(single, n_blue, n_yellow)

@@ -23,6 +23,8 @@ def shard_carry(carry: RolloutCarry, mesh: Mesh) -> RolloutCarry:
         state=shard_batched_tree(carry.state, mesh, batch_axis=-1),
         obs=shard_batched_tree(carry.obs, mesh, batch_axis=-1),
         keys=shard_batched_tree(carry.keys, mesh, batch_axis=0),
+        ep_return=shard_batched_tree(carry.ep_return, mesh, batch_axis=-1),
+        ep_length=shard_batched_tree(carry.ep_length, mesh, batch_axis=-1),
     )
 
 

@@ -54,7 +54,10 @@ def test_rollout_episode_accounting():
     state = state._replace(
         steps=jnp.full((B,), env.max_episode_steps - 3, jnp.int32)
     )
-    carry = R.RolloutCarry(state, obs, jax.random.split(jax.random.PRNGKey(1), B))
+    carry = R.RolloutCarry(
+        state, obs, jax.random.split(jax.random.PRNGKey(1), B),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
     roll = jax.jit(R.make_rollout_fn(benv, 10, unroll=1))
     _, ms = roll(carry)
     # every env truncates at least once within 10 steps

@@ -1,0 +1,57 @@
+"""Custom env configurations beyond the registered defaults.
+
+The reference documents custom-env authoring (base classes take field_type /
+robot counts — vss/README.md:4, ssl/README.md:4); these tests pin that the
+functional envs honour the same degrees of freedom.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsoccer_tpu.core.frame import frame_from_batched, frame_from_world
+from rsoccer_tpu.envs import VSSEnv
+
+
+def test_vss_5v5_field_type_1():
+    env = VSSEnv(field_type=1, n_robots_blue=5, n_robots_yellow=5)
+    assert env.obs_size == 4 + 7 * 5 + 5 * 5  # 64
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (64,)
+    s2, obs2, r, term, trunc, info = env.step(
+        state, jnp.zeros(2), jax.random.PRNGKey(1)
+    )
+    assert obs2.shape == (64,)
+    assert bool(jnp.isfinite(obs2).all())
+    # larger field -> larger max_pos normaliser
+    assert env.max_pos == max(1.8 / 2, 2.2 / 2 + 0.15)
+
+
+def test_vss_1v0_minimal():
+    env = VSSEnv(n_robots_blue=1, n_robots_yellow=0)
+    assert env.obs_size == 11
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    for t in range(5):
+        state, obs, r, term, trunc, info = env.step(
+            state, jnp.asarray([0.5, 0.5]), jax.random.PRNGKey(t)
+        )
+    assert bool(jnp.isfinite(obs).all())
+
+
+def test_frame_views():
+    env = VSSEnv()
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    f = frame_from_world(state.world, 3, 3)
+    assert len(f.robots_blue) == 3 and len(f.robots_yellow) == 3
+    assert 0 <= f.robots_blue[0].theta < 360
+
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+
+    benv = BatchedEnv(env, 4)
+    bstate, _ = benv.reset(jax.random.PRNGKey(1))
+    f2 = frame_from_batched(bstate.world, 2, 3, 3)
+    assert f2.ball.x is not None
+    # matches the slice
+    np.testing.assert_allclose(
+        f2.ball.x, float(bstate.world.ball.x[2]), rtol=1e-6
+    )

@@ -12,4 +12,13 @@ meshes for multi-host scaling.
 from rsoccer_tpu.registry import make, registered_ids
 
 __version__ = "0.1.0"
-__all__ = ["make", "registered_ids", "__version__"]
+
+
+def make_vec(env_id: str, n_envs: int, **kwargs):
+    """Create a :class:`~rsoccer_tpu.batch.vecenv.BatchedEnv` directly."""
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+
+    return BatchedEnv(make(env_id, **kwargs), n_envs)
+
+
+__all__ = ["make", "make_vec", "registered_ids", "__version__"]

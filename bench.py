@@ -37,15 +37,24 @@ def main():
     )
 
     carry = R.init_carry(benv, jax.random.PRNGKey(0))
-    # warmup / compile
+    # warmup / compile.  Synchronise via an actual scalar fetch, not
+    # block_until_ready: some PJRT transports (e.g. tunneled remote TPUs)
+    # report readiness before execution completes, and only a
+    # device-to-host transfer truly waits.
     carry, ms = roll(carry)
-    jax.block_until_ready(ms)
+    float(ms.total_reward)
 
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        carry, ms = roll(carry)
-    jax.block_until_ready(ms)
-    dt = time.perf_counter() - t0
+    # adaptive: grow the iteration count until the measured window is long
+    # enough that fixed dispatch/transfer latency is noise (<2% at >=2s)
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            carry, ms = roll(carry)
+        float(ms.total_reward)
+        dt = time.perf_counter() - t0
+        if dt >= 2.0 or n_iters >= 2000:
+            break
+        n_iters = min(2000, max(n_iters * 2, int(n_iters * 2.5 / max(dt, 1e-3))))
     n_steps = n_steps * n_iters
 
     steps_per_s = n_envs * n_steps / dt

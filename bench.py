@@ -15,6 +15,12 @@ import time
 
 import jax
 
+# persistent compilation cache: repeated bench runs (and driver re-runs)
+# skip the multi-minute remote compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     n_envs = int(os.environ.get("RSOCCER_BENCH_ENVS", 8192))

@@ -13,13 +13,13 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rsoccer_tpu.batch.vecenv import BatchedEnv, split_keys
+from rsoccer_tpu.batch.vecenv import BatchedEnv, make_keys, split_keys
 
 
 class RolloutCarry(NamedTuple):
     state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (obs_size, B) lane-layout observations
-    keys: jnp.ndarray  # (B, 2) per-env PRNG keys
+    keys: jnp.ndarray  # (2, B) per-env PRNG keys (lane layout)
     ep_return: jnp.ndarray  # (B,) running return of the current episode
     ep_length: jnp.ndarray  # (B,) running length of the current episode
 
@@ -44,7 +44,7 @@ def init_carry(benv: BatchedEnv, key) -> RolloutCarry:
     state, obs = benv.reset(reset_key)
     b = benv.n_envs
     return RolloutCarry(
-        state, obs, jax.random.split(carry_key, b),
+        state, obs, make_keys(carry_key, b),
         jnp.zeros((b,)), jnp.zeros((b,)),
     )
 
@@ -76,7 +76,7 @@ def make_rollout_fn(
 
     def one_step(carry: RolloutCarry, _):
         step_keys, next_keys = split_keys(carry.keys)
-        actions = policy(step_keys[0], carry.obs)
+        actions = policy(step_keys[:, 0], carry.obs)
         state, obs, reward, term, trunc, info = benv.step(
             carry.state, actions, step_keys
         )

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rsoccer_tpu.batch.vecenv import BatchedEnv, split_keys
+from rsoccer_tpu.batch.vecenv import BatchedEnv, make_keys, split_keys
 from rsoccer_tpu.models.networks import (
     ActorCritic,
     gaussian_entropy,
@@ -46,7 +46,7 @@ class TrainState(NamedTuple):
     opt_state: optax.OptState
     env_state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (O, B)
-    env_keys: jnp.ndarray  # (B, 2)
+    env_keys: jnp.ndarray  # (2, B) lane-layout per-env keys
     update_step: jnp.ndarray
 
 
@@ -80,7 +80,7 @@ class PPOTrainer:
             opt_state=self.tx.init(params),
             env_state=env_state,
             obs=obs,
-            env_keys=jax.random.split(k_keys, self.benv.n_envs),
+            env_keys=make_keys(k_keys, self.benv.n_envs),
             update_step=jnp.zeros((), jnp.int32),
         )
 

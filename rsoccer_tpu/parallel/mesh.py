@@ -38,8 +38,7 @@ def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = -1) -> NamedSharding
 def shard_batched_tree(tree, mesh: Mesh, batch_axis: int = -1):
     """device_put every leaf with its batch axis sharded over the mesh.
 
-    Works for lane-layout env state (trailing batch axis on every leaf) and
-    for ``(B, 2)`` key arrays when ``batch_axis=0``.
+    Works for any lane-layout tree (trailing batch axis on every leaf).
     """
 
     def put(leaf):

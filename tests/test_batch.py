@@ -13,17 +13,17 @@ def test_vmap_matches_single_env():
     env = rsoccer_tpu.make("VSS-v0")
     B = 4
     benv = BatchedEnv(env, B)
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    keys = jax.random.split(jax.random.PRNGKey(0), B).T
     bstate, bobs = benv._reset_v(keys)
     actions = jax.random.uniform(
         jax.random.PRNGKey(1), (env.action_size, B), minval=-1, maxval=1
     )
-    skeys = jax.random.split(jax.random.PRNGKey(2), B)
+    skeys = jax.random.split(jax.random.PRNGKey(2), B).T
     bs2, bobs2, br, bterm, btrunc, binfo = benv.step(bstate, actions, skeys)
 
     for i in range(B):
-        s, o = env.reset(keys[i])
-        s2, o2, r, term, trunc, info = env.step(s, actions[:, i], skeys[i])
+        s, o = env.reset(keys[:, i])
+        s2, o2, r, term, trunc, info = env.step(s, actions[:, i], skeys[:, i])
         np.testing.assert_allclose(np.asarray(o), np.asarray(bobs[:, i]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(o2), np.asarray(bobs2[:, i]), atol=1e-6)
         np.testing.assert_allclose(float(r), float(br[i]), atol=1e-6)
@@ -55,7 +55,7 @@ def test_rollout_episode_accounting():
         steps=jnp.full((B,), env.max_episode_steps - 3, jnp.int32)
     )
     carry = R.RolloutCarry(
-        state, obs, jax.random.split(jax.random.PRNGKey(1), B),
+        state, obs, jax.random.split(jax.random.PRNGKey(1), B).T,
         jnp.zeros((B,)), jnp.zeros((B,)),
     )
     roll = jax.jit(R.make_rollout_fn(benv, 10, unroll=1))
@@ -72,7 +72,7 @@ def test_steps_counter_resets_per_env_independently():
     # env 1 at the cliff, others not
     steps = jnp.asarray([0, env.max_episode_steps - 1, 5], jnp.int32)
     state = state._replace(steps=steps)
-    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    keys = jax.random.split(jax.random.PRNGKey(1), B).T
     acts = jnp.zeros((2, B))
     ns, *_ , trunc, info = benv.step(state, acts, keys)
     assert list(np.asarray(trunc)) == [False, True, False]

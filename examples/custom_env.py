@@ -41,7 +41,7 @@ class ReachBallEnv(Env):
         self.n_blue, self.n_yellow = 1, 0
         self._physics = make_vss_step(self.field, VSS_PHYSICS, 0.025)
 
-    def reset(self, key):
+    def reset_state(self, key):
         f = self.field
         world = WorldState(
             ball=BallState(
@@ -55,8 +55,7 @@ class ReachBallEnv(Env):
                 infrared=jnp.zeros((1,), bool), v_wheel=jnp.zeros((1, 4)),
             ),
         )
-        state = ReachState(world=world, steps=jnp.zeros((), jnp.int32))
-        return state, self._observe(world)
+        return ReachState(world=world, steps=jnp.zeros((), jnp.int32))
 
     def _observe(self, world):
         return jnp.stack(
@@ -67,7 +66,10 @@ class ReachBallEnv(Env):
             ]
         ).astype(jnp.float32)
 
-    def step_env(self, state, action, key):
+    def observe(self, state):
+        return self._observe(state.world)
+
+    def transition(self, state, action, key):
         max_wheel = self.field.max_wheel_rad_s
         cmd = VSSCommands(
             v_wheel0=action[:1] * max_wheel, v_wheel1=action[1:] * max_wheel
@@ -79,7 +81,7 @@ class ReachBallEnv(Env):
         touched = dist < self.field.rbt_radius + self.field.ball_radius + 0.01
         reward = jnp.where(touched, 1.0, 0.0)
         ns = ReachState(world=world, steps=state.steps + 1)
-        return ns, self._observe(world), reward, touched, {}
+        return ns, reward, touched, {}
 
 
 if __name__ == "__main__":

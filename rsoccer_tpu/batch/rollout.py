@@ -20,6 +20,7 @@ class RolloutCarry(NamedTuple):
     state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (obs_size, B) lane-layout observations
     keys: jnp.ndarray  # (2, B) per-env PRNG keys (lane layout)
+    pol_key: jnp.ndarray  # (2,) policy key stream (distinct from env keys)
     ep_return: jnp.ndarray  # (B,) running return of the current episode
     ep_length: jnp.ndarray  # (B,) running length of the current episode
 
@@ -40,11 +41,11 @@ class RolloutMetrics(NamedTuple):
 
 
 def init_carry(benv: BatchedEnv, key) -> RolloutCarry:
-    reset_key, carry_key = jax.random.split(key)
+    reset_key, carry_key, pol_key = jax.random.split(key, 3)
     state, obs = benv.reset(reset_key)
     b = benv.n_envs
     return RolloutCarry(
-        state, obs, make_keys(carry_key, b),
+        state, obs, make_keys(carry_key, b), pol_key,
         jnp.zeros((b,)), jnp.zeros((b,)),
     )
 
@@ -76,7 +77,8 @@ def make_rollout_fn(
 
     def one_step(carry: RolloutCarry, _):
         step_keys, next_keys = split_keys(carry.keys)
-        actions = policy(step_keys[:, 0], carry.obs)
+        pol_key, next_pol = jax.random.split(carry.pol_key)
+        actions = policy(pol_key, carry.obs)
         state, obs, reward, term, trunc, info = benv.step(
             carry.state, actions, step_keys
         )
@@ -91,7 +93,10 @@ def make_rollout_fn(
         )
         ep_ret = jnp.where(done, 0.0, ep_ret)
         ep_len = jnp.where(done, 0.0, ep_len)
-        return RolloutCarry(state, obs, next_keys, ep_ret, ep_len), metrics
+        return (
+            RolloutCarry(state, obs, next_keys, next_pol, ep_ret, ep_len),
+            metrics,
+        )
 
     def rollout(carry: RolloutCarry):
         carry, ms = jax.lax.scan(one_step, carry, None, length=n_steps, unroll=unroll)

@@ -61,8 +61,11 @@ class SSLContestedPossessionEnv(SSLTaskBase):
         )
         self.energy_scale = 160.0 * 4 * 1200
 
+    def observe(self, state) -> jnp.ndarray:
+        return self.observe_standard(state.world)
+
     # ---------------------------------------------------------------- reset
-    def reset(self, key):
+    def reset_state(self, key):
         f = self.field
         kx, ky = jax.random.split(key)
         enemy_x = jax.random.uniform(
@@ -82,10 +85,10 @@ class SSLContestedPossessionEnv(SSLTaskBase):
             steps=jnp.zeros((), jnp.int32),
             shaping=jnp.zeros((len(_SHAPING_KEYS),)),
         )
-        return state, self.observe_standard(world)
+        return state
 
     # ----------------------------------------------------------------- step
-    def step_env(self, state: CPState, action, key):
+    def transition(self, state: CPState, action, key):
         f = self.field
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)
@@ -143,4 +146,4 @@ class SSLContestedPossessionEnv(SSLTaskBase):
 
         ns = CPState(world=world, steps=state.steps + 1, shaping=shaping)
         info = {k: shaping[i] for i, k in enumerate(_SHAPING_KEYS)}
-        return ns, self.observe_standard(world), reward, done, info
+        return ns, reward, done, info

@@ -47,8 +47,11 @@ class SSLDribblingEnv(SSLTaskBase):
         rest = self.observe_standard(world, infrared_low=-1.0)  # :98
         return jnp.concatenate([head[None], rest]).astype(jnp.float32)
 
+    def observe(self, state) -> jnp.ndarray:
+        return self._observe(state.world, state.checkpoints)
+
     # ---------------------------------------------------------------- reset
-    def reset(self, key):
+    def reset_state(self, key):
         # deterministic placement (reference :187-202)
         world = self.make_world(
             ball_x=-0.1, ball_y=0.0,
@@ -61,10 +64,10 @@ class SSLDribblingEnv(SSLTaskBase):
             steps=jnp.zeros((), jnp.int32),
             checkpoints=jnp.zeros((), jnp.int32),
         )
-        return state, self._observe(world, state.checkpoints)
+        return state
 
     # ----------------------------------------------------------------- step
-    def step_env(self, state: DribblingState, action, key):
+    def transition(self, state: DribblingState, action, key):
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)
         commands = self.single_robot_commands(
@@ -122,4 +125,4 @@ class SSLDribblingEnv(SSLTaskBase):
         # base-class info is empty for this task (no reward_shaping_total in
         # the reference — SSLHWDribblingEnv does not override step)
         info = {}
-        return ns, self._observe(world, new_count), reward, done, info
+        return ns, reward, done, info

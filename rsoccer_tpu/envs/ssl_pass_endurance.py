@@ -84,8 +84,11 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         )
         return jnp.concatenate([head, blue.reshape(-1)]).astype(jnp.float32)
 
+    def observe(self, state) -> jnp.ndarray:
+        return self._observe(state.world)
+
     # ---------------------------------------------------------------- reset
-    def reset(self, key):
+    def reset_state(self, key):
         kb, kr = jax.random.split(key)
         bxy = jax.random.uniform(kb, (2,), minval=-1.5, maxval=1.5)
         ball_x, ball_y = bxy[0], bxy[1]
@@ -117,10 +120,10 @@ class SSLPassEnduranceEnv(SSLTaskBase):
             stopped_steps=jnp.zeros((), jnp.int32),
             shaping=jnp.zeros((2,)),
         )
-        return state, self._observe(world)
+        return state
 
     # ----------------------------------------------------------------- step
-    def step_env(self, state: PEState, action, key):
+    def transition(self, state: PEState, action, key):
         # kick deadzone |a1| > 0.5 (reference :108)
         kick = jnp.where(jnp.abs(action[1]) > 0.5, action[1], 0.0)
         cmd = zero_ssl_commands(self.n_robots)
@@ -179,4 +182,4 @@ class SSLPassEnduranceEnv(SSLTaskBase):
             shaping=shaping,
         )
         info = {k: shaping[i] for i, k in enumerate(_SHAPING_KEYS)}
-        return ns, self._observe(world), reward, done, info
+        return ns, reward, done, info

@@ -65,8 +65,11 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         )
         self.energy_scale = 160.0 * 4 * 1000  # wheel cap * wheels * steps
 
+    def observe(self, state) -> jnp.ndarray:
+        return self.observe_standard(state.world)
+
     # ---------------------------------------------------------------- reset
-    def reset(self, key):
+    def reset_state(self, key):
         f = self.field
         half_len, half_wid = f.half_length, f.half_width
         pen_len, half_pen_wid = f.penalty_length, f.penalty_width / 2
@@ -109,10 +112,10 @@ class SSLStaticDefendersEnv(SSLTaskBase):
             steps=jnp.zeros((), jnp.int32),
             shaping=jnp.zeros((len(_SHAPING_KEYS),)),
         )
-        return state, self.observe_standard(world)
+        return state
 
     # ----------------------------------------------------------------- step
-    def step_env(self, state: SDState, action, key):
+    def transition(self, state: SDState, action, key):
         f = self.field
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)
@@ -164,4 +167,4 @@ class SSLStaticDefendersEnv(SSLTaskBase):
 
         ns = SDState(world=world, steps=state.steps + 1, shaping=shaping)
         info = {k: shaping[i] for i, k in enumerate(_SHAPING_KEYS)}
-        return ns, self.observe_standard(world), reward, done, info
+        return ns, reward, done, info

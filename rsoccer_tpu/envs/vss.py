@@ -141,8 +141,11 @@ class VSSEnv(Env):
         w = v / self.field.rbt_wheel_radius
         return w[..., 0], w[..., 1]
 
+    def observe(self, state) -> jnp.ndarray:
+        return self._observe(state.world)
+
     # ---------------------------------------------------------------- reset
-    def reset(self, key):
+    def reset_state(self, key):
         f = self.field
         k_pos, k_theta = jax.random.split(key)
         xs, ys = spawn.sample_separated(
@@ -177,10 +180,10 @@ class VSSEnv(Env):
             has_potential=jnp.zeros((), bool),
             shaping=jnp.zeros((len(_SHAPING_KEYS),)),
         )
-        return state, self._observe(world)
+        return state
 
     # ----------------------------------------------------------------- step
-    def step_env(self, state: VSSState, action, key):
+    def transition(self, state: VSSState, action, key):
         f = self.field
 
         # --- commands: agent wheels + OU-driven teammates/opponents
@@ -267,4 +270,4 @@ class VSSEnv(Env):
             shaping=shaping,
         )
         info = {k: shaping[i] for i, k in enumerate(_SHAPING_KEYS)}
-        return ns, self._observe(world), reward, goal, info
+        return ns, reward, goal, info

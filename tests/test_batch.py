@@ -56,7 +56,7 @@ def test_rollout_episode_accounting():
     )
     carry = R.RolloutCarry(
         state, obs, jax.random.split(jax.random.PRNGKey(1), B).T,
-        jnp.zeros((B,)), jnp.zeros((B,)),
+        jax.random.PRNGKey(9), jnp.zeros((B,)), jnp.zeros((B,)),
     )
     roll = jax.jit(R.make_rollout_fn(benv, 10, unroll=1))
     _, ms = roll(carry)

@@ -42,7 +42,10 @@ def main():
         R.make_rollout_fn(benv, n_steps, unroll=unroll), donate_argnums=0
     )
 
-    carry = R.init_carry(benv, jax.random.PRNGKey(0))
+    # hardware RNG (rbg) by default: env noise is drawn batch-level, so the
+    # key impl only changes which generator fills the noise blocks
+    rng_impl = os.environ.get("RSOCCER_BENCH_RNG", "rbg")
+    carry = R.init_carry(benv, jax.random.key(0, impl=rng_impl))
     # warmup / compile.  Synchronise via an actual scalar fetch, not
     # block_until_ready: some PJRT transports (e.g. tunneled remote TPUs)
     # report readiness before execution completes, and only a

@@ -4,6 +4,11 @@ Replaces the reference's host-side Python step loop (README.md:116-133 rollout
 example; per-step C++ boundary crossings at vss_gym_base.py:72-90) with a
 single compiled program: policy -> physics -> obs/reward/done -> auto-reset,
 iterated T times with zero host synchronisation and donated state buffers.
+
+RNG: the carry holds one env key and one policy key; each step splits them
+once (scalar splits — cheap) and the batched env draws its whole noise block
+from the step key (see ``rsoccer_tpu.batch.vecenv``).  Pass rbg-impl keys for
+hardware-RNG throughput on TPU.
 """
 
 from __future__ import annotations
@@ -13,14 +18,14 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rsoccer_tpu.batch.vecenv import BatchedEnv, make_keys, split_keys
+from rsoccer_tpu.batch.vecenv import BatchedEnv
 
 
 class RolloutCarry(NamedTuple):
     state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (obs_size, B) lane-layout observations
-    keys: jnp.ndarray  # (2, B) per-env PRNG keys (lane layout)
-    pol_key: jnp.ndarray  # (2,) policy key stream (distinct from env keys)
+    key: jnp.ndarray  # env RNG key (whole batch)
+    pol_key: jnp.ndarray  # policy key stream
     ep_return: jnp.ndarray  # (B,) running return of the current episode
     ep_length: jnp.ndarray  # (B,) running length of the current episode
 
@@ -45,8 +50,7 @@ def init_carry(benv: BatchedEnv, key) -> RolloutCarry:
     state, obs = benv.reset(reset_key)
     b = benv.n_envs
     return RolloutCarry(
-        state, obs, make_keys(carry_key, b), pol_key,
-        jnp.zeros((b,)), jnp.zeros((b,)),
+        state, obs, carry_key, pol_key, jnp.zeros((b,)), jnp.zeros((b,))
     )
 
 
@@ -64,7 +68,7 @@ def make_rollout_fn(
     benv: BatchedEnv,
     n_steps: int,
     policy: Callable | None = None,
-    unroll: int = 4,
+    unroll: int = 1,
 ):
     """Build ``rollout(carry) -> (carry, metrics)`` running ``n_steps``
     batched steps fully on-device.  Jit with ``donate_argnums=0``.
@@ -76,11 +80,11 @@ def make_rollout_fn(
         policy = uniform_policy(benv.action_size)
 
     def one_step(carry: RolloutCarry, _):
-        step_keys, next_keys = split_keys(carry.keys)
+        step_key, next_key = jax.random.split(carry.key)
         pol_key, next_pol = jax.random.split(carry.pol_key)
         actions = policy(pol_key, carry.obs)
         state, obs, reward, term, trunc, info = benv.step(
-            carry.state, actions, step_keys
+            carry.state, actions, step_key
         )
         done = term | trunc
         ep_ret = carry.ep_return + reward
@@ -94,7 +98,7 @@ def make_rollout_fn(
         ep_ret = jnp.where(done, 0.0, ep_ret)
         ep_len = jnp.where(done, 0.0, ep_len)
         return (
-            RolloutCarry(state, obs, next_keys, next_pol, ep_ret, ep_len),
+            RolloutCarry(state, obs, next_key, next_pol, ep_ret, ep_len),
             metrics,
         )
 

@@ -8,13 +8,19 @@ index in the TPU's 128-wide lane dimension so all per-entity arrays tile
 densely — e.g. robot state becomes ``(n_robots, B)`` instead of
 ``(B, n_robots)``, avoiding a ~20x lane-padding blowup for small n_robots.
 
+Randomness: envs are deterministic functions of pre-drawn noise (see
+``rsoccer_tpu.envs.base``).  The batched layer draws each step's entire
+noise block — all envs, all uses — with ONE fused generator call per kind
+from a single per-step key.  This replaces thousands of per-env threefry
+splits with two wide generator calls, and the key's implementation flows
+through: pass ``jax.random.PRNGKey(seed, impl="rbg")`` to use the TPU's
+hardware RNG for the whole rollout.
+
 ``BatchedEnv.step`` therefore takes/returns:
     state  — pytree, every leaf with a trailing batch axis
     obs    — ``(obs_size, B)``
     action — ``(action_size, B)``
-    keys   — ``(2, B)`` uint32, one PRNG key per env (lane layout too: a
-             batch-first ``(B, 2)`` key array would put 2 in the TPU lane
-             dimension and waste 126/128 lanes on every threefry op)
+    key    — ONE key for the whole batch step
 
 Use ``obs.T`` / ``actions.T`` at the API edge when batch-first is needed;
 inside a rollout loop everything stays lane-layout.
@@ -25,18 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rsoccer_tpu.envs.base import Env
-
-
-def make_keys(key, n: int):
-    """Split one key into a lane-layout (2, n) per-env key array."""
-    return jax.random.split(key, n).T
-
-
-def split_keys(keys):
-    """(2, B) -> ((2, B), (2, B)) one split per env, lane layout."""
-    ks = jax.vmap(jax.random.split, in_axes=-1, out_axes=-1)(keys)
-    return ks[0], ks[1]
+from rsoccer_tpu.envs.base import Env, draw_noise
 
 
 class BatchedEnv:
@@ -47,18 +42,40 @@ class BatchedEnv:
         self.n_envs = n_envs
         self.obs_size = env.obs_size
         self.action_size = env.action_size
-        self._reset_v = jax.vmap(env.reset, in_axes=-1, out_axes=-1)
-        self._step_v = jax.vmap(env.step, in_axes=-1, out_axes=-1)
-        self._step_env_v = jax.vmap(env.step_env, in_axes=-1, out_axes=-1)
+        self._t_spec = env.transition_noise_spec()
+        self._r_spec = env.reset_noise_spec()
+
+        self._reset_v = jax.vmap(
+            lambda noise: _reset_obs(env, noise), in_axes=-1, out_axes=-1
+        )
+        self._step_v = jax.vmap(env.step_with_noise, in_axes=-1, out_axes=-1)
+        self._step_env_v = jax.vmap(
+            lambda s, a, n: _step_env(env, s, a, n), in_axes=-1, out_axes=-1
+        )
 
     def reset(self, key):
-        """key: single (2,) key — split into per-env keys."""
-        return self._reset_v(make_keys(key, self.n_envs))
+        """One key for the whole batch."""
+        noise = draw_noise(key, self._r_spec, batch=self.n_envs)
+        return self._reset_v(noise)
 
-    def step(self, state, actions, keys):
-        """Auto-resetting step. actions (A, B), keys (2, B)."""
-        return self._step_v(state, actions, keys)
+    def step(self, state, actions, key):
+        """Auto-resetting step. actions (A, B), one key."""
+        kt, kr = jax.random.split(key)
+        t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
+        r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
+        return self._step_v(state, actions, t_noise, r_noise)
 
-    def step_env(self, state, actions, keys):
+    def step_env(self, state, actions, key):
         """Raw step without auto-reset/truncation."""
-        return self._step_env_v(state, actions, keys)
+        t_noise = draw_noise(key, self._t_spec, batch=self.n_envs)
+        return self._step_env_v(state, actions, t_noise)
+
+
+def _reset_obs(env: Env, noise):
+    state = env.reset_state(noise)
+    return state, env.observe(state)
+
+
+def _step_env(env: Env, state, action, noise):
+    ns, reward, terminated, info = env.transition(state, action, noise)
+    return ns, env.observe(ns), reward, terminated, info

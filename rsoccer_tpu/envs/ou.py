@@ -18,10 +18,15 @@ import jax.numpy as jnp
 OU_THETA = 0.17  # reference Utils/Utils.py:6
 
 
-def ou_step(x_prev, key, dt: float, mu: float = 0.0, sigma: float = 0.5):
-    """One OU update (reference Utils/Utils.py:14-21). Works on any shape."""
-    noise = jax.random.normal(key, x_prev.shape)
+def ou_update(x_prev, noise, dt: float, mu: float = 0.0, sigma: float = 0.5):
+    """One OU update from pre-drawn standard-normal ``noise`` (reference
+    Utils/Utils.py:14-21).  Works on any shape."""
     return x_prev + OU_THETA * (mu - x_prev) * dt + sigma * math.sqrt(dt) * noise
+
+
+def ou_step(x_prev, key, dt: float, mu: float = 0.0, sigma: float = 0.5):
+    """Key-based convenience wrapper over :func:`ou_update`."""
+    return ou_update(x_prev, jax.random.normal(key, x_prev.shape), dt, mu, sigma)
 
 
 def ou_reset(shape):

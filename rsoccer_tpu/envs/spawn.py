@@ -35,6 +35,48 @@ def _first_valid(cands_x, cands_y, placed_x, placed_y, placed_mask, min_dist):
     return jnp.argmax(ok)  # first True, or 0 when all False
 
 
+def place_separated(
+    u,
+    x_lo: float,
+    x_hi: float,
+    y_lo: float,
+    y_hi: float,
+    min_dist: float,
+    preplaced_x=None,
+    preplaced_y=None,
+):
+    """Sequentially place points in a box, each at least ``min_dist`` from
+    all previously placed ones (and from the optional preplaced points).
+
+    ``u`` is a ``(n_points, 2, N_CANDIDATES)`` block of uniform [0, 1)
+    samples — randomness is an *input*, so the caller chooses the PRNG
+    (per-env keys single-env; one fused batch-level draw when batched).
+    Returns ((n,), (n,)) arrays.
+
+    Mirrors the reference's sequential KD-tree rejection loop
+    (vss_gym.py:214-231) with a fixed candidate budget per point.
+    """
+    n_points = u.shape[0]
+    n_pre = 0 if preplaced_x is None else len(preplaced_x)
+    total = n_pre + n_points
+    px = jnp.zeros((total,))
+    py = jnp.zeros((total,))
+    mask = jnp.zeros((total,), bool)
+    if n_pre:
+        px = px.at[:n_pre].set(jnp.asarray(preplaced_x))
+        py = py.at[:n_pre].set(jnp.asarray(preplaced_y))
+        mask = mask.at[:n_pre].set(True)
+
+    cxs = x_lo + u[:, 0] * (x_hi - x_lo)
+    cys = y_lo + u[:, 1] * (y_hi - y_lo)
+    for i in range(n_points):
+        idx = _first_valid(cxs[i], cys[i], px, py, mask, min_dist)
+        px = px.at[n_pre + i].set(cxs[i, idx])
+        py = py.at[n_pre + i].set(cys[i, idx])
+        mask = mask.at[n_pre + i].set(True)
+    return px[n_pre:], py[n_pre:]
+
+
 def sample_separated(
     key,
     n_points: int,
@@ -46,37 +88,19 @@ def sample_separated(
     preplaced_x=None,
     preplaced_y=None,
 ):
-    """Sequentially place ``n_points`` uniform points in a box, each at least
-    ``min_dist`` from all previously placed ones (and from the optional
-    preplaced points).  Returns ((n,), (n,)) arrays.
-
-    Mirrors the reference's sequential KD-tree rejection loop
-    (vss_gym.py:214-231) with a fixed candidate budget per point.
-    """
-    n_pre = 0 if preplaced_x is None else len(preplaced_x)
-    total = n_pre + n_points
-    px = jnp.zeros((total,))
-    py = jnp.zeros((total,))
-    mask = jnp.zeros((total,), bool)
-    if n_pre:
-        px = px.at[:n_pre].set(jnp.asarray(preplaced_x))
-        py = py.at[:n_pre].set(jnp.asarray(preplaced_y))
-        mask = mask.at[:n_pre].set(True)
-
-    # one fused draw for every candidate of every point (auto-reset makes
-    # this run each env step — a single threefry call beats ~2n splits)
+    """Key-based convenience wrapper over :func:`place_separated`."""
     u = jax.random.uniform(key, (n_points, 2, N_CANDIDATES))
-    cxs = x_lo + u[:, 0] * (x_hi - x_lo)
-    cys = y_lo + u[:, 1] * (y_hi - y_lo)
-    for i in range(n_points):
-        idx = _first_valid(cxs[i], cys[i], px, py, mask, min_dist)
-        px = px.at[n_pre + i].set(cxs[i, idx])
-        py = py.at[n_pre + i].set(cys[i, idx])
-        mask = mask.at[n_pre + i].set(True)
-    return px[n_pre:], py[n_pre:]
+    return place_separated(
+        u, x_lo, x_hi, y_lo, y_hi, min_dist, preplaced_x, preplaced_y
+    )
+
+
+def angles_from_uniform(u):
+    """Uniform [0,1) samples -> headings in radians (reference draws degrees
+    in [0, 360), vss_gym.py:205-206 — identical distribution)."""
+    return u * (2.0 * jnp.pi)
 
 
 def uniform_angles(key, n: int):
-    """Uniform headings in radians (reference draws degrees in [0, 360),
-    vss_gym.py:205-206 — identical distribution on the circle)."""
-    return jax.random.uniform(key, (n,), minval=0.0, maxval=2.0 * jnp.pi)
+    """Key-based convenience wrapper over :func:`angles_from_uniform`."""
+    return angles_from_uniform(jax.random.uniform(key, (n,)))

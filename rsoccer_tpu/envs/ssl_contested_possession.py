@@ -64,16 +64,17 @@ class SSLContestedPossessionEnv(SSLTaskBase):
     def observe(self, state) -> jnp.ndarray:
         return self.observe_standard(state.world)
 
+    # ---------------------------------------------------------------- noise
+    def reset_noise_spec(self):
+        return {"enemy": ((2,), "uniform")}
+
     # ---------------------------------------------------------------- reset
-    def reset_state(self, key):
+    def reset_state(self, noise):
         f = self.field
-        kx, ky = jax.random.split(key)
-        enemy_x = jax.random.uniform(
-            kx, (), minval=f.penalty_length, maxval=f.half_length - f.penalty_length
+        enemy_x = f.penalty_length + noise["enemy"][0] * (
+            f.half_length - 2 * f.penalty_length
         )
-        enemy_y = jax.random.uniform(
-            ky, (), minval=-f.penalty_width / 2, maxval=f.penalty_width / 2
-        )
+        enemy_y = -f.penalty_width / 2 + noise["enemy"][1] * f.penalty_width
         world = self.make_world(
             ball_x=enemy_x - 0.1, ball_y=enemy_y,
             rx=jnp.stack([jnp.zeros(()), enemy_x]),
@@ -88,7 +89,7 @@ class SSLContestedPossessionEnv(SSLTaskBase):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: CPState, action, key):
+    def transition(self, state: CPState, action, noise):
         f = self.field
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)

@@ -51,7 +51,7 @@ class SSLDribblingEnv(SSLTaskBase):
         return self._observe(state.world, state.checkpoints)
 
     # ---------------------------------------------------------------- reset
-    def reset_state(self, key):
+    def reset_state(self, noise):
         # deterministic placement (reference :187-202)
         world = self.make_world(
             ball_x=-0.1, ball_y=0.0,
@@ -67,7 +67,7 @@ class SSLDribblingEnv(SSLTaskBase):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: DribblingState, action, key):
+    def transition(self, state: DribblingState, action, noise):
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)
         commands = self.single_robot_commands(

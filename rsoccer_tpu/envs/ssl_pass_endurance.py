@@ -87,10 +87,16 @@ class SSLPassEnduranceEnv(SSLTaskBase):
     def observe(self, state) -> jnp.ndarray:
         return self._observe(state.world)
 
+    # ---------------------------------------------------------------- noise
+    def reset_noise_spec(self):
+        return {
+            "ball": ((2,), "uniform"),
+            "recv_x": ((N_CAND,), "uniform"),
+        }
+
     # ---------------------------------------------------------------- reset
-    def reset_state(self, key):
-        kb, kr = jax.random.split(key)
-        bxy = jax.random.uniform(kb, (2,), minval=-1.5, maxval=1.5)
+    def reset_state(self, noise):
+        bxy = -1.5 + noise["ball"] * 3.0
         ball_x, ball_y = bxy[0], bxy[1]
         factor = jnp.where(ball_y >= 0, 1.0, -1.0)
         offset = 0.115 * factor
@@ -100,7 +106,7 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         shooter_theta = jnp.where(factor > 0, -jnp.pi / 2, jnp.pi / 2)
 
         # receiver x: uniform +-1.5 rejected to |recv_x - ball_x| >= 1
-        cand = jax.random.uniform(kr, (N_CAND,), minval=-1.5, maxval=1.5)
+        cand = -1.5 + noise["recv_x"] * 3.0
         ok = jnp.abs(cand - ball_x) >= 1.0
         recv_x = cand[jnp.argmax(ok)]
         recv_y = -ball_y
@@ -123,7 +129,7 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: PEState, action, key):
+    def transition(self, state: PEState, action, noise):
         # kick deadzone |a1| > 0.5 (reference :108)
         kick = jnp.where(jnp.abs(action[1]) > 0.5, action[1], 0.0)
         cmd = zero_ssl_commands(self.n_robots)

@@ -68,39 +68,39 @@ class SSLStaticDefendersEnv(SSLTaskBase):
     def observe(self, state) -> jnp.ndarray:
         return self.observe_standard(state.world)
 
+    # ---------------------------------------------------------------- noise
+    def reset_noise_spec(self):
+        return {
+            "ball": ((2, spawn.N_CANDIDATES), "uniform"),
+            "spawn": ((self.n_yellow, 2, spawn.N_CANDIDATES), "uniform"),
+            "theta": ((self.n_yellow,), "uniform"),
+        }
+
     # ---------------------------------------------------------------- reset
-    def reset_state(self, key):
+    def reset_state(self, noise):
         f = self.field
         half_len, half_wid = f.half_length, f.half_width
         pen_len, half_pen_wid = f.penalty_length, f.penalty_width / 2
-        k_ball, k_yellow, k_theta = jax.random.split(key, 3)
 
         # ball: uniform on the attack half, rejected out of the GK area
         # (reference :234-239) — fixed-candidate version of the while loop
-        bx_c = jax.random.uniform(
-            jax.random.fold_in(k_ball, 0), (spawn.N_CANDIDATES,),
-            minval=0.2, maxval=half_len - 0.1,
-        )
-        by_c = jax.random.uniform(
-            jax.random.fold_in(k_ball, 1), (spawn.N_CANDIDATES,),
-            minval=-half_wid + 0.1, maxval=half_wid - 0.1,
-        )
+        bx_c = 0.2 + noise["ball"][0] * (half_len - 0.1 - 0.2)
+        by_c = -half_wid + 0.1 + noise["ball"][1] * (2 * half_wid - 0.2)
         in_gk = (bx_c > half_len - pen_len) & (jnp.abs(by_c) < half_pen_wid)
         idx = jnp.argmax(~in_gk)
         ball_x, ball_y = bx_c[idx], by_c[idx]
 
         # yellows: 0.2 m separation from ball, blue (origin) and each other
         # (reference :241-252 seeds its KD-tree with ball + blue positions)
-        yx, yy = spawn.sample_separated(
-            k_yellow,
-            n_points=self.n_yellow,
+        yx, yy = spawn.place_separated(
+            noise["spawn"],
             x_lo=0.2, x_hi=half_len - 0.1,
             y_lo=-half_wid + 0.1, y_hi=half_wid - 0.1,
             min_dist=0.2,
             preplaced_x=[ball_x, 0.0], preplaced_y=[ball_y, 0.0],
         )
 
-        thetas = spawn.uniform_angles(k_theta, self.n_yellow)
+        thetas = spawn.angles_from_uniform(noise["theta"])
         world = self.make_world(
             ball_x, ball_y,
             rx=jnp.concatenate([jnp.zeros((1,)), yx]),
@@ -115,7 +115,7 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: SDState, action, key):
+    def transition(self, state: SDState, action, noise):
         f = self.field
         angle = state.world.robots.theta[0]
         v_x, v_y, v_theta = self.convert_actions(action, angle)

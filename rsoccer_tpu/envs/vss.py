@@ -144,20 +144,28 @@ class VSSEnv(Env):
     def observe(self, state) -> jnp.ndarray:
         return self._observe(state.world)
 
+    # ---------------------------------------------------------------- noise
+    def transition_noise_spec(self):
+        return {"ou": ((self.n_robots, 2), "normal")}
+
+    def reset_noise_spec(self):
+        return {
+            "spawn": ((1 + self.n_robots, 2, spawn.N_CANDIDATES), "uniform"),
+            "theta": ((self.n_robots,), "uniform"),
+        }
+
     # ---------------------------------------------------------------- reset
-    def reset_state(self, key):
+    def reset_state(self, noise):
         f = self.field
-        k_pos, k_theta = jax.random.split(key)
-        xs, ys = spawn.sample_separated(
-            k_pos,
-            n_points=1 + self.n_robots,
+        xs, ys = spawn.place_separated(
+            noise["spawn"],
             x_lo=-f.half_length + 0.1,
             x_hi=f.half_length - 0.1,
             y_lo=-f.half_width + 0.1,
             y_hi=f.half_width - 0.1,
             min_dist=0.1,  # reference vss_gym.py:212
         )
-        thetas = spawn.uniform_angles(k_theta, self.n_robots)
+        thetas = spawn.angles_from_uniform(noise["theta"])
         zn = jnp.zeros((self.n_robots,))
         world = WorldState(
             ball=BallState(x=xs[0], y=ys[0], v_x=jnp.zeros(()), v_y=jnp.zeros(())),
@@ -183,13 +191,13 @@ class VSSEnv(Env):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: VSSState, action, key):
+    def transition(self, state: VSSState, action, noise):
         f = self.field
 
         # --- commands: agent wheels + OU-driven teammates/opponents
         # (reference vss_gym.py:119-142; OU index 0 exists but is never
         # sampled for the agent)
-        ou_x = ou.ou_step(state.ou_x, key, self.time_step)
+        ou_x = ou.ou_update(state.ou_x, noise["ou"], self.time_step)
         all_actions = ou_x.at[0].set(action)
         wl, wr = self._actions_to_wheels(all_actions)
         commands = VSSCommands(v_wheel0=wl, v_wheel1=wr)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rsoccer_tpu.batch.vecenv import BatchedEnv, make_keys, split_keys
+from rsoccer_tpu.batch.vecenv import BatchedEnv
 from rsoccer_tpu.models.networks import (
     ActorCritic,
     gaussian_entropy,
@@ -46,7 +46,7 @@ class TrainState(NamedTuple):
     opt_state: optax.OptState
     env_state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (O, B)
-    env_keys: jnp.ndarray  # (2, B) lane-layout per-env keys
+    env_key: jnp.ndarray  # env RNG key (whole batch)
     update_step: jnp.ndarray
 
 
@@ -80,33 +80,33 @@ class PPOTrainer:
             opt_state=self.tx.init(params),
             env_state=env_state,
             obs=obs,
-            env_keys=make_keys(k_keys, self.benv.n_envs),
+            env_key=k_keys,
             update_step=jnp.zeros((), jnp.int32),
         )
 
     # ------------------------------------------------------------------
-    def _rollout(self, params, env_state, obs, env_keys, key):
+    def _rollout(self, params, env_state, obs, env_key, key):
         """Collect cfg.rollout_steps transitions. obs is lane-layout (O, B)."""
 
         def one_step(carry, step_key):
-            env_state, obs, env_keys = carry
+            env_state, obs, env_key = carry
             mean, log_std, value = self.net.apply(params, obs.T)
             action, logp = sample_action(step_key, mean, log_std)
-            step_keys, env_keys = split_keys(env_keys)
+            env_step_key, env_key = jax.random.split(env_key)
             ns, nobs, reward, term, trunc, info = self.benv.step(
-                env_state, action.T, step_keys
+                env_state, action.T, env_step_key
             )
             t = Transition(
                 obs=obs.T, action=action, logp=logp, value=value,
                 reward=reward, done=(term | trunc).astype(jnp.float32),
             )
-            return (ns, nobs, env_keys), t
+            return (ns, nobs, env_key), t
 
         step_keys = jax.random.split(key, self.cfg.rollout_steps)
-        (env_state, obs, env_keys), traj = jax.lax.scan(
-            one_step, (env_state, obs, env_keys), step_keys
+        (env_state, obs, env_key), traj = jax.lax.scan(
+            one_step, (env_state, obs, env_key), step_keys
         )
-        return env_state, obs, env_keys, traj
+        return env_state, obs, env_key, traj
 
     def _gae(self, traj: Transition, last_value):
         cfg = self.cfg
@@ -155,8 +155,8 @@ class PPOTrainer:
         """One full PPO iteration; jit this (donate state)."""
         cfg = self.cfg
         k_roll, k_perm = jax.random.split(key)
-        env_state, obs, env_keys, traj = self._rollout(
-            state.params, state.env_state, state.obs, state.env_keys, k_roll
+        env_state, obs, env_key, traj = self._rollout(
+            state.params, state.env_state, state.obs, state.env_key, k_roll
         )
         _, _, last_value = self.net.apply(state.params, obs.T)
         advantages, returns = self._gae(traj, last_value)
@@ -203,7 +203,7 @@ class PPOTrainer:
             opt_state=opt_state,
             env_state=env_state,
             obs=obs,
-            env_keys=env_keys,
+            env_key=env_key,
             update_step=state.update_step + 1,
         )
         out_metrics = {

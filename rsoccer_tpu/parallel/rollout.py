@@ -17,15 +17,16 @@ from rsoccer_tpu.parallel.mesh import Mesh, shard_batched_tree
 
 
 def shard_carry(carry: RolloutCarry, mesh: Mesh) -> RolloutCarry:
-    """Place a rollout carry on the mesh: every leaf (including the
-    ``(2, B)`` key array) is batch-last."""
+    """Place a rollout carry on the mesh: batched leaves batch-last, the
+    two scalar RNG keys replicated."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    replicated = NamedSharding(mesh, P())
     return RolloutCarry(
         state=shard_batched_tree(carry.state, mesh, batch_axis=-1),
         obs=shard_batched_tree(carry.obs, mesh, batch_axis=-1),
-        keys=shard_batched_tree(carry.keys, mesh, batch_axis=-1),
-        pol_key=jax.device_put(carry.pol_key, NamedSharding(mesh, P())),
+        key=jax.device_put(carry.key, replicated),
+        pol_key=jax.device_put(carry.pol_key, replicated),
         ep_return=shard_batched_tree(carry.ep_return, mesh, batch_axis=-1),
         ep_length=shard_batched_tree(carry.ep_length, mesh, batch_axis=-1),
     )

@@ -405,8 +405,7 @@ def test_jit_and_vmap(env_id):
     state, obs = benv.reset(jax.random.PRNGKey(0))
     assert obs.shape == (env.obs_size, 8)
     acts = jnp.zeros((env.action_size, 8))
-    keys = jax.random.split(jax.random.PRNGKey(1), 8).T
     step = jax.jit(benv.step)
-    ns, obs2, r, term, trunc, info = step(state, acts, keys)
+    ns, obs2, r, term, trunc, info = step(state, acts, jax.random.PRNGKey(1))
     assert r.shape == (8,)
     assert bool(jnp.isfinite(obs2).all())

@@ -21,7 +21,7 @@ def trainer():
 def test_init_shapes(trainer):
     state = trainer.init(jax.random.PRNGKey(0))
     assert state.obs.shape == (40, 16)
-    assert state.env_keys.shape == (2, 16)
+    assert state.env_key.shape == (2,)
     assert int(state.update_step) == 0
 
 

@@ -70,13 +70,17 @@ def draw_noise(key, spec: NoiseSpec, batch: int | None = None):
         return {"_pad": jnp.zeros((1,) + tail)}
     out = {}
     if n_u:
-        u = jax.random.uniform(ku, (n_u,) + tail)
+        # optimization_barrier: without it XLA fuses the generator into
+        # every consumer, REGENERATING the full block once per consuming
+        # fusion (measured as 14 full-block passes per env step on TPU).
+        # The barrier materialises the block once; consumers read slices.
+        u = jax.lax.optimization_barrier(jax.random.uniform(ku, (n_u,) + tail))
         off = 0
         for name, shape, size in uni:
             out[name] = u[off : off + size].reshape(shape + tail)
             off += size
     if n_n:
-        n = jax.random.normal(kn, (n_n,) + tail)
+        n = jax.lax.optimization_barrier(jax.random.normal(kn, (n_n,) + tail))
         off = 0
         for name, shape, size in nrm:
             out[name] = n[off : off + size].reshape(shape + tail)

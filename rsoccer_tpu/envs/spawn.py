@@ -28,15 +28,29 @@ import jax.numpy as jnp
 N_CANDIDATES = 8
 
 
-def _first_valid(cands_x, cands_y, placed_x, placed_y, placed_mask, min_dist):
-    """Index of the first candidate at least ``min_dist`` from every placed
-    point; 0 if none qualifies. Shapes: cands (K,), placed (M,)."""
+def pick_first(ok, *arrays):
+    """Select each array's value at the first True of ``ok`` (falling back
+    to index 0 when none) WITHOUT integer indexing: a one-hot masked sum.
+
+    ``array[argmax(ok)]`` with a traced index becomes a per-lane gather
+    under vmap — measured at ~70us per call on TPU (cross-lane movement in
+    a kCustom fusion).  The one-hot formulation is elementwise + reduction
+    and costs ~nothing.
+    """
+    first = ok & (jnp.cumsum(ok) == 1)  # one-hot of the first True
+    any_ok = jnp.any(ok)
+    sel = first.astype(arrays[0].dtype)
+    return tuple(jnp.where(any_ok, jnp.sum(a * sel), a[0]) for a in arrays)
+
+
+def _first_valid_mask(cands_x, cands_y, placed_x, placed_y, placed_mask, min_dist):
+    """Validity of each candidate against all placed points.
+    Shapes: cands (K,), placed (M,) -> (K,) bool."""
     dx = cands_x[:, None] - placed_x[None, :]
     dy = cands_y[:, None] - placed_y[None, :]
     d2 = dx * dx + dy * dy
     ok_pair = (d2 >= min_dist * min_dist) | ~placed_mask[None, :]
-    ok = jnp.all(ok_pair, axis=1)
-    return jnp.argmax(ok)  # first True, or 0 when all False
+    return jnp.all(ok_pair, axis=1)
 
 
 def place_separated(
@@ -78,9 +92,10 @@ def place_separated(
         # tensor (measured as ~14 full-tensor passes per step on TPU)
         cx = x_lo + u[i, 0] * (x_hi - x_lo)
         cy = y_lo + u[i, 1] * (y_hi - y_lo)
-        idx = _first_valid(cx, cy, px, py, mask, min_dist)
-        px = px.at[n_pre + i].set(cx[idx])
-        py = py.at[n_pre + i].set(cy[idx])
+        ok = _first_valid_mask(cx, cy, px, py, mask, min_dist)
+        x_i, y_i = pick_first(ok, cx, cy)
+        px = px.at[n_pre + i].set(x_i)
+        py = py.at[n_pre + i].set(y_i)
         mask = mask.at[n_pre + i].set(True)
     return px[n_pre:], py[n_pre:]
 

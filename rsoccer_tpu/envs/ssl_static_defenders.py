@@ -87,8 +87,7 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         bx_c = 0.2 + noise["ball"][0] * (half_len - 0.1 - 0.2)
         by_c = -half_wid + 0.1 + noise["ball"][1] * (2 * half_wid - 0.2)
         in_gk = (bx_c > half_len - pen_len) & (jnp.abs(by_c) < half_pen_wid)
-        idx = jnp.argmax(~in_gk)
-        ball_x, ball_y = bx_c[idx], by_c[idx]
+        ball_x, ball_y = spawn.pick_first(~in_gk, bx_c, by_c)
 
         # yellows: 0.2 m separation from ball, blue (origin) and each other
         # (reference :241-252 seeds its KD-tree with ball + blue positions)

@@ -1,0 +1,64 @@
+"""Evaluate a trained policy: metrics + optional episode GIF.
+
+    python examples/train_ppo_vss.py --envs 1024 --updates 50 --save /tmp/params
+    python examples/eval_policy.py --params /tmp/params --gif /tmp/episode.gif
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+import rsoccer_tpu
+from rsoccer_tpu.batch import rollout as R
+from rsoccer_tpu.batch.vecenv import BatchedEnv
+from rsoccer_tpu.models.ppo import PPOTrainer
+from rsoccer_tpu.utils import checkpoint
+from rsoccer_tpu.utils.video import record_episode, save_gif
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env-id", default="VSS-v0")
+    p.add_argument("--envs", type=int, default=256)
+    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--params", default="")
+    p.add_argument("--gif", default="")
+    args = p.parse_args()
+
+    env = rsoccer_tpu.make(args.env_id)
+    benv = BatchedEnv(env, args.envs)
+    trainer = PPOTrainer(benv)
+
+    if args.params:
+        init_state = trainer.init(jax.random.PRNGKey(0))
+        params = checkpoint.restore(args.params, like=init_state.params)
+        params = jax.tree.map(jax.numpy.asarray, params)
+    else:
+        print("no --params given; evaluating a freshly initialised policy")
+        params = trainer.init(jax.random.PRNGKey(0)).params
+
+    policy = trainer.make_policy(params, deterministic=True)
+    roll = jax.jit(R.make_rollout_fn(benv, args.steps, policy=policy))
+    carry, ms = roll(R.init_carry(benv, jax.random.PRNGKey(1)))
+    print(
+        f"{args.envs} envs x {args.steps} steps: "
+        f"episodes={int(ms.episodes)} "
+        f"mean_return={float(ms.mean_episode_return):.3f} "
+        f"mean_length={float(ms.mean_episode_length):.1f}"
+    )
+
+    if args.gif:
+        def single_policy(key, obs):
+            return policy(key, obs[:, None])[:, 0]
+
+        frames = record_episode(env, policy=single_policy, seed=2, max_steps=600)
+        save_gif(frames, args.gif)
+        print(f"wrote {args.gif} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    main()

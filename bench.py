@@ -26,7 +26,7 @@ def main():
     n_envs = int(os.environ.get("RSOCCER_BENCH_ENVS", 8192))
     n_steps = int(os.environ.get("RSOCCER_BENCH_STEPS", 100))
     n_iters = int(os.environ.get("RSOCCER_BENCH_ITERS", 5))
-    unroll = int(os.environ.get("RSOCCER_BENCH_UNROLL", 1))
+    unroll = int(os.environ.get("RSOCCER_BENCH_UNROLL", 4))
     env_id = os.environ.get("RSOCCER_BENCH_ENV_ID", "VSS-v0")
 
     import rsoccer_tpu

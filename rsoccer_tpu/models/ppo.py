@@ -39,6 +39,42 @@ class PPOConfig(NamedTuple):
     ent_coef: float = 0.01
     lr: float = 3e-4
     max_grad_norm: float = 0.5
+    normalize_obs: bool = True  # running mean/std normalisation
+
+
+class ObsNorm(NamedTuple):
+    """Running mean/var (Welford-style batched updates)."""
+
+    mean: jnp.ndarray  # (O,)
+    var: jnp.ndarray  # (O,)
+    count: jnp.ndarray  # scalar
+
+    @staticmethod
+    def init(obs_size: int):
+        return ObsNorm(
+            mean=jnp.zeros((obs_size,)),
+            var=jnp.ones((obs_size,)),
+            count=jnp.asarray(1e-4),
+        )
+
+    def update(self, batch):
+        """batch (N, O) -> updated stats."""
+        return self.update_moments(batch.mean(0), batch.var(0), batch.shape[0])
+
+    def update_moments(self, b_mean, b_var, b_count):
+        delta = b_mean - self.mean
+        tot = self.count + b_count
+        mean = self.mean + delta * (b_count / tot)
+        m_a = self.var * self.count
+        m_b = b_var * b_count
+        m2 = m_a + m_b + delta**2 * (self.count * b_count / tot)
+        return ObsNorm(mean=mean, var=m2 / tot, count=tot)
+
+    def normalize(self, obs):
+        """obs (..., O) -> normalised, clipped to +-10."""
+        return jnp.clip(
+            (obs - self.mean) / jnp.sqrt(self.var + 1e-8), -10.0, 10.0
+        )
 
 
 class TrainState(NamedTuple):
@@ -47,6 +83,7 @@ class TrainState(NamedTuple):
     env_state: object  # batched env state (batch-last leaves)
     obs: jnp.ndarray  # (O, B)
     env_key: jnp.ndarray  # env RNG key (whole batch)
+    obs_norm: "ObsNorm"
     update_step: jnp.ndarray
 
 
@@ -81,32 +118,41 @@ class PPOTrainer:
             env_state=env_state,
             obs=obs,
             env_key=k_keys,
+            obs_norm=ObsNorm.init(self.benv.obs_size),
             update_step=jnp.zeros((), jnp.int32),
         )
 
     # ------------------------------------------------------------------
-    def _rollout(self, params, env_state, obs, env_key, key):
+    def _rollout(self, params, env_state, obs, env_key, obs_norm, key):
         """Collect cfg.rollout_steps transitions. obs is lane-layout (O, B)."""
 
         def one_step(carry, step_key):
-            env_state, obs, env_key = carry
-            mean, log_std, value = self.net.apply(params, obs.T)
+            env_state, obs, env_key, o_sum, o_sq = carry
+            # raw-obs moment accumulators feed the running normaliser
+            o_sum = o_sum + obs.sum(axis=-1)
+            o_sq = o_sq + (obs * obs).sum(axis=-1)
+            net_obs = obs_norm.normalize(obs.T) if self.cfg.normalize_obs else obs.T
+            mean, log_std, value = self.net.apply(params, net_obs)
             action, logp = sample_action(step_key, mean, log_std)
             env_step_key, env_key = jax.random.split(env_key)
             ns, nobs, reward, term, trunc, info = self.benv.step(
                 env_state, action.T, env_step_key
             )
             t = Transition(
-                obs=obs.T, action=action, logp=logp, value=value,
+                obs=net_obs, action=action, logp=logp, value=value,
                 reward=reward, done=(term | trunc).astype(jnp.float32),
             )
-            return (ns, nobs, env_key), t
+            return (ns, nobs, env_key, o_sum, o_sq), t
 
+        o = jnp.zeros((self.benv.obs_size,))
         step_keys = jax.random.split(key, self.cfg.rollout_steps)
-        (env_state, obs, env_key), traj = jax.lax.scan(
-            one_step, (env_state, obs, env_key), step_keys
+        (env_state, obs, env_key, o_sum, o_sq), traj = jax.lax.scan(
+            one_step, (env_state, obs, env_key, o, o), step_keys
         )
-        return env_state, obs, env_key, traj
+        n = self.cfg.rollout_steps * self.benv.n_envs
+        raw_mean = o_sum / n
+        raw_var = jnp.maximum(o_sq / n - raw_mean**2, 0.0)
+        return env_state, obs, env_key, (raw_mean, raw_var, n), traj
 
     def _gae(self, traj: Transition, last_value):
         cfg = self.cfg
@@ -155,10 +201,14 @@ class PPOTrainer:
         """One full PPO iteration; jit this (donate state)."""
         cfg = self.cfg
         k_roll, k_perm = jax.random.split(key)
-        env_state, obs, env_key, traj = self._rollout(
-            state.params, state.env_state, state.obs, state.env_key, k_roll
+        env_state, obs, env_key, raw_moments, traj = self._rollout(
+            state.params, state.env_state, state.obs, state.env_key,
+            state.obs_norm, k_roll
         )
-        _, _, last_value = self.net.apply(state.params, obs.T)
+        last_obs = (
+            state.obs_norm.normalize(obs.T) if cfg.normalize_obs else obs.T
+        )
+        _, _, last_value = self.net.apply(state.params, last_obs)
         advantages, returns = self._gae(traj, last_value)
 
         # flatten (T, B) -> (N,)
@@ -198,12 +248,18 @@ class PPOTrainer:
             epoch, (state.params, state.opt_state), eks
         )
 
+        obs_norm = (
+            state.obs_norm.update_moments(*raw_moments)
+            if cfg.normalize_obs
+            else state.obs_norm
+        )
         new_state = TrainState(
             params=params,
             opt_state=opt_state,
             env_state=env_state,
             obs=obs,
             env_key=env_key,
+            obs_norm=obs_norm,
             update_step=state.update_step + 1,
         )
         out_metrics = {
@@ -213,11 +269,12 @@ class PPOTrainer:
         }
         return new_state, out_metrics
 
-    def make_policy(self, params, deterministic: bool = True):
+    def make_policy(self, params, obs_norm=None, deterministic: bool = True):
         """Lane-layout policy fn usable with batch.rollout drivers."""
 
         def policy(key, obs):
-            mean, log_std, _ = self.net.apply(params, obs.T)
+            o = obs.T if obs_norm is None else obs_norm.normalize(obs.T)
+            mean, log_std, _ = self.net.apply(params, o)
             if deterministic:
                 return mean.T
             action, _ = sample_action(key, mean, log_std)

@@ -91,3 +91,28 @@ def test_gae_analytic():
         np.asarray(ret)[:, 0], np.asarray(adv)[:, 0] + [0.2, 0.3, 0.1],
         rtol=1e-5,
     )
+
+
+def test_obs_norm_statistics():
+    from rsoccer_tpu.models.ppo import ObsNorm
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(loc=3.0, scale=2.0, size=(1000, 5)).astype(np.float32)
+    norm = ObsNorm.init(5)
+    for i in range(10):
+        norm = norm.update(jnp.asarray(data[i * 100 : (i + 1) * 100]))
+    np.testing.assert_allclose(np.asarray(norm.mean), data.mean(0), rtol=0.02)
+    np.testing.assert_allclose(
+        np.sqrt(np.asarray(norm.var)), data.std(0), rtol=0.05
+    )
+    z = np.asarray(norm.normalize(jnp.asarray(data)))
+    assert abs(z.mean()) < 0.05 and abs(z.std() - 1.0) < 0.05
+
+
+def test_train_state_obs_norm_updates(trainer):
+    state = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step)
+    s1, _ = step(state, jax.random.PRNGKey(1))
+    # stats moved away from init
+    assert float(jnp.abs(s1.obs_norm.mean).sum()) > 0
+    assert float(s1.obs_norm.count) > 1

@@ -32,7 +32,7 @@ def resolve_robot_robot(x, y, v_x, v_y, radius: float, restitution: float):
     d2 = dx * dx + dy * dy
     n = x.shape[0]
     eye = jnp.eye(n, dtype=bool)
-    d = jnp.sqrt(jnp.where(eye, 1.0, d2))
+    d = jnp.sqrt(jnp.where(eye, 1.0, jnp.maximum(d2, _EPS * _EPS)))
     overlap = jnp.where(eye, 0.0, 2.0 * radius - d)
     colliding = overlap > 0.0
 
@@ -64,7 +64,7 @@ def resolve_ball_robots(
     dx = bx - rx
     dy = by - ry
     d2 = dx * dx + dy * dy
-    d = jnp.sqrt(jnp.maximum(d2, _EPS))
+    d = jnp.sqrt(jnp.maximum(d2, _EPS * _EPS))
     min_d = robot_radius + ball_radius
     overlap = min_d - d
     colliding = overlap > 0.0
@@ -139,9 +139,14 @@ def clamp_robots_walls_vss(
 
 
 def apply_ball_friction(bvx, bvy, decel: float, dt: float):
-    """Constant-deceleration rolling friction toward rest."""
-    speed = jnp.sqrt(bvx * bvx + bvy * bvy)
-    scale = jnp.maximum(0.0, 1.0 - decel * dt / jnp.maximum(speed, _EPS))
+    """Constant-deceleration rolling friction toward rest.
+
+    The epsilon sits INSIDE the sqrt: ``sqrt(0)`` has an infinite gradient
+    and a resting ball would poison the calibration harness's backward pass
+    with NaNs (forward value is unchanged).
+    """
+    speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
+    scale = jnp.maximum(0.0, 1.0 - decel * dt / speed)
     return bvx * scale, bvy * scale
 
 

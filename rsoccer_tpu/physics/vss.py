@@ -34,7 +34,10 @@ def make_vss_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
     """Build ``step(world, commands) -> world`` with all constants folded."""
 
     dts = dt / cfg.n_substeps
-    lat_keep = math.exp(-cfg.lateral_decay * dts)
+    # jnp.exp so coefficients may be traced values (the calibration harness
+    # differentiates the step w.r.t. the PhysicsConfig entries); with plain
+    # floats XLA constant-folds it anyway
+    lat_keep = jnp.exp(-cfg.lateral_decay * dts)
     max_wheel = field.max_wheel_rad_s
     wheel_r = field.rbt_wheel_radius
     a_lin = cfg.robot_accel * dts

@@ -52,6 +52,11 @@ def main():
     # device-to-host transfer truly waits.
     carry, ms = roll(carry)
     float(ms.total_reward)
+    # second warmup: the first call's outputs can differ in weak-typing from
+    # the initial carry, making the next call a retrace; stabilise so the
+    # timed window can never include a (multi-minute, remote) recompile
+    carry, ms = roll(carry)
+    float(ms.total_reward)
 
     # adaptive: grow the iteration count until the measured window is long
     # enough that fixed dispatch/transfer latency is noise (<2% at >=2s)

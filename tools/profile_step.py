@@ -36,8 +36,12 @@ def main():
     benv = BatchedEnv(env, args.envs)
     roll = jax.jit(R.make_rollout_fn(benv, args.steps, unroll=1))
     carry = R.init_carry(benv, jax.random.PRNGKey(0))
+    # two warmups: the first call's outputs can differ in weak-typing from
+    # init_carry's arrays, making call 2 a retrace — stabilise before tracing
     carry, ms = roll(carry)
     float(ms.total_reward)  # true sync (see bench.py)
+    carry, ms = roll(carry)
+    float(ms.total_reward)
 
     jax.profiler.start_trace(args.out)
     carry, ms = roll(carry)

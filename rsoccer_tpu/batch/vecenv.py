@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rsoccer_tpu.envs.base import Env, draw_noise
+from rsoccer_tpu.envs.base import Env, draw_noise, strongify
 
 
 class BatchedEnv:
@@ -72,7 +72,9 @@ class BatchedEnv:
 
 
 def _reset_obs(env: Env, noise):
-    state = env.reset_state(noise)
+    # strongify: avoid weak-typed leaves that make the first post-reset
+    # jitted step a silent retrace (see envs/base.strongify)
+    state = strongify(env.reset_state(noise))
     return state, env.observe(state)
 
 

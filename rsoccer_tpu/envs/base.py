@@ -88,6 +88,18 @@ def draw_noise(key, spec: NoiseSpec, batch: int | None = None):
     return out
 
 
+def strongify(tree):
+    """Clear weak typing on every leaf.
+
+    Reset states built from Python scalars (``jnp.asarray(-0.1)``,
+    ``jnp.full(n, jnp.pi)``) carry weak-typed leaves, while stepped states
+    are strong-typed — without this, the second call of a jitted
+    rollout/step silently retraces (and on remote-compile TPUs, recompiles
+    for minutes).
+    """
+    return jax.tree.map(lambda l: jnp.asarray(l, jnp.asarray(l).dtype), tree)
+
+
 class Env:
     """Base class — subclasses define obs_size/action_size/max_episode_steps
     and implement the noise-spec'd hooks above."""
@@ -136,7 +148,7 @@ class Env:
 
     # -- key-based conveniences (single-env) -------------------------------
     def reset(self, key) -> Tuple[Any, jnp.ndarray]:
-        state = self.reset_state(draw_noise(key, self.reset_noise_spec()))
+        state = strongify(self.reset_state(draw_noise(key, self.reset_noise_spec())))
         return state, self.observe(state)
 
     def step_env(self, state, action, key):

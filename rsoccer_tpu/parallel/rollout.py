@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import jax
 
-from rsoccer_tpu.batch.rollout import RolloutCarry, init_carry, make_rollout_fn
+from rsoccer_tpu.batch.rollout import (
+    RolloutCarry,
+    RolloutMetrics,
+    init_carry,
+    make_rollout_fn,
+)
 from rsoccer_tpu.batch.vecenv import BatchedEnv
 from rsoccer_tpu.parallel.mesh import Mesh, shard_batched_tree
 
@@ -30,6 +35,84 @@ def shard_carry(carry: RolloutCarry, mesh: Mesh) -> RolloutCarry:
         ep_return=shard_batched_tree(carry.ep_return, mesh, batch_axis=-1),
         ep_length=shard_batched_tree(carry.ep_length, mesh, batch_axis=-1),
     )
+
+
+def make_shard_map_rollout(
+    benv: BatchedEnv,
+    mesh: Mesh,
+    n_steps: int,
+    policy=None,
+    unroll: int = 1,
+):
+    """Explicit-SPMD rollout via ``shard_map``: each device steps its local
+    env shard with zero cross-chip communication; metrics ``psum`` at the
+    end.  The env key is folded with the device index so shards draw
+    independent noise (numerically different from the jit-partitioned
+    rollout, same distribution).
+
+    Prefer :func:`make_sharded_rollout` (jit + NamedSharding) by default;
+    this variant guarantees no accidental resharding and is the template
+    for multi-host topologies where explicit control matters.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from rsoccer_tpu.parallel.mesh import ENV_AXIS
+
+    n_dev = mesh.devices.size
+    if benv.n_envs % n_dev:
+        raise ValueError(
+            f"n_envs={benv.n_envs} not divisible by mesh size {n_dev}"
+        )
+    # inside shard_map each device sees only its local slice of the batch
+    local_benv = BatchedEnv(benv.env, benv.n_envs // n_dev)
+    rollout = make_rollout_fn(local_benv, n_steps, policy=policy, unroll=unroll)
+
+    def batch_spec(tree):
+        return jax.tree.map(lambda l: P(*([None] * (l.ndim - 1) + [ENV_AXIS])), tree)
+
+    def make(carry: RolloutCarry):
+        in_spec = RolloutCarry(
+            state=batch_spec(carry.state),
+            obs=P(None, ENV_AXIS),
+            key=P(),
+            pol_key=P(),
+            ep_return=P(ENV_AXIS),
+            ep_length=P(ENV_AXIS),
+        )
+        metrics_spec = jax.tree.map(lambda _: P(), RolloutMetrics(0, 0, 0, 0))
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(in_spec,),
+            out_specs=(in_spec, metrics_spec),
+            check_rep=False,
+        )
+        def sharded(carry):
+            idx = jax.lax.axis_index(ENV_AXIS)
+            carry = carry._replace(
+                key=jax.random.fold_in(carry.key, idx),
+                pol_key=jax.random.fold_in(carry.pol_key, idx),
+            )
+            carry, ms = rollout(carry)
+            ms = jax.tree.map(lambda x: jax.lax.psum(x, ENV_AXIS), ms)
+            # restore a replicated key stream for the next call
+            carry = carry._replace(
+                key=jax.lax.all_gather(carry.key, ENV_AXIS)[0],
+                pol_key=jax.lax.all_gather(carry.pol_key, ENV_AXIS)[0],
+            )
+            return carry, ms
+
+        return sharded
+
+    def rollout_sm(carry: RolloutCarry):
+        return make(carry)(carry)
+
+    return rollout_sm
 
 
 def make_sharded_rollout(

@@ -108,7 +108,9 @@ class TestStaticDefenders:
 
     def test_ball_out_left(self, env):
         state, _ = env.reset(jax.random.PRNGKey(6))
-        state = place_ball(state, 0.01, 0.0, -2.0, 0.0)
+        # away from the blue robot at the origin (a ball inside its disc
+        # would be collision-bounced back to +x)
+        state = place_ball(state, 0.01, 1.5, -2.0, 0.0)
         ns, obs, r, done, info = env.step_env(state, jnp.zeros(5), jax.random.PRNGKey(7))
         assert bool(done)
         assert float(info["done_ball_out"]) == 1.0

@@ -64,3 +64,31 @@ def test_indivisible_batch_rejected(eight_devices):
     mesh = M.make_env_mesh(8)
     with pytest.raises(ValueError):
         make_sharded_rollout(benv, mesh, 5)
+
+
+def test_shard_map_rollout(eight_devices):
+    import jax.numpy as jnp
+
+    from rsoccer_tpu.parallel.rollout import make_shard_map_rollout
+
+    env = rsoccer_tpu.make("VSS-v0")
+    B = 64
+    benv = BatchedEnv(env, B)
+    mesh = M.make_env_mesh(8)
+    roll = make_shard_map_rollout(benv, mesh, n_steps=10)
+    carry = shard_carry(R.init_carry(benv, jax.random.PRNGKey(0)), mesh)
+    with mesh:
+        carry2, ms = jax.jit(roll)(carry)
+    assert np.isfinite(float(ms.total_reward))
+    # state stayed sharded over 8 devices
+    assert len(carry2.obs.sharding.device_set) == 8
+    # shards drew independent noise: env positions differ across shards
+    xs = np.asarray(carry2.state.world.ball.x)
+    assert np.std(xs[:8]) > 0 and np.std(xs) > 0
+    # deterministic
+    carry_b = shard_carry(R.init_carry(benv, jax.random.PRNGKey(0)), mesh)
+    with mesh:
+        _, ms_b = jax.jit(roll)(carry_b)
+    np.testing.assert_allclose(
+        float(ms.total_reward), float(ms_b.total_reward), rtol=1e-6
+    )

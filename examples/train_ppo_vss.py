@@ -28,12 +28,16 @@ def main():
     p.add_argument("--updates", type=int, default=50)
     p.add_argument("--env-id", default="VSS-v0")
     p.add_argument("--save", default="")
+    p.add_argument(
+        "--rng-impl", default="threefry2x32",
+        help="PRNG impl for env noise ('rbg' = TPU hardware RNG)",
+    )
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
     trainer = PPOTrainer(benv, PPOConfig())
-    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.init(jax.random.key(0, impl=args.rng_impl))
     step = jax.jit(trainer.train_step, donate_argnums=0)
 
     steps_per_update = trainer.cfg.rollout_steps * args.envs

@@ -29,7 +29,6 @@ inside a rollout loop everything stays lane-layout.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from rsoccer_tpu.envs.base import Env, draw_noise, strongify
 

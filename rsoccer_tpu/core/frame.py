@@ -9,7 +9,6 @@ TPU hot path never touches these.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict
 

@@ -20,7 +20,6 @@ Behavioral spec from the reference (ssl/ssl_hw_challenge/static_defenders.py):
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

@@ -12,7 +12,6 @@ sharded (the mean over the batch induces the collective).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -56,7 +56,6 @@ def make_shard_map_rollout(
     """
     from functools import partial
 
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 

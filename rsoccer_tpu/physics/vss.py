@@ -18,8 +18,6 @@ trailing batch axis.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 
 from rsoccer_tpu.core.field import FieldParams

@@ -1,7 +1,5 @@
 """Behavioral spec tests for the four SSL hardware-challenge tasks."""
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,7 +1,5 @@
 """SSL omni-drive physics tests: kinematics, kicker, dribbler, infrared."""
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -33,8 +33,9 @@ def main():
     from rsoccer_tpu.batch import rollout as R
     from rsoccer_tpu.batch.vecenv import BatchedEnv
 
+    use_pallas = os.environ.get("RSOCCER_BENCH_PALLAS", "0") == "1"
     env = rsoccer_tpu.make(env_id)
-    benv = BatchedEnv(env, n_envs)
+    benv = BatchedEnv(env, n_envs, pallas_physics=use_pallas)
     # modest scan length + repeated calls: same measured steady-state
     # throughput as one long scan, but a far smaller program to compile
     # (matters on remote-compile TPU setups)

@@ -34,9 +34,20 @@ from rsoccer_tpu.envs.base import Env, draw_noise, strongify
 
 
 class BatchedEnv:
-    """vmap wrapper around a single-env :class:`Env`."""
+    """vmap wrapper around a single-env :class:`Env`.
 
-    def __init__(self, env: Env, n_envs: int):
+    ``pallas_physics=True`` (VSS only, experimental) routes the physics
+    through the fused Pallas kernel (ops/pallas_vss.py): task logic stays
+    vmapped, the dynamics run as one kernel launch per batch tile.
+    """
+
+    def __init__(
+        self,
+        env: Env,
+        n_envs: int,
+        pallas_physics: bool = False,
+        pallas_tile: int = 1024,
+    ):
         self.env = env
         self.n_envs = n_envs
         self.obs_size = env.obs_size
@@ -51,6 +62,16 @@ class BatchedEnv:
         self._step_env_v = jax.vmap(
             lambda s, a, n: _step_env(env, s, a, n), in_axes=-1, out_axes=-1
         )
+        self._pallas = None
+        if pallas_physics:
+            self._pallas = _build_pallas_vss(env, n_envs, pallas_tile)
+            self._pre_v = jax.vmap(env.pre_physics, in_axes=-1, out_axes=-1)
+            self._post_v = jax.vmap(env.post_physics, in_axes=-1, out_axes=-1)
+            self._reset_state_v = jax.vmap(
+                lambda noise: strongify(env.reset_state(noise)),
+                in_axes=-1, out_axes=-1,
+            )
+            self._observe_v = jax.vmap(env.observe, in_axes=-1, out_axes=-1)
 
     def reset(self, key):
         """One key for the whole batch."""
@@ -62,12 +83,80 @@ class BatchedEnv:
         kt, kr = jax.random.split(key)
         t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
         r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
+        if self._pallas is not None:
+            return self._pallas_step(state, actions, t_noise, r_noise)
         return self._step_v(state, actions, t_noise, r_noise)
+
+    def _pallas_step(self, state, actions, t_noise, r_noise):
+        """pre (vmapped) -> fused Pallas physics (batched) -> post (vmapped)
+        -> truncation + auto-reset select (batch-level elementwise)."""
+        import jax.numpy as jnp
+
+        commands, aux = self._pre_v(state, actions, t_noise)
+        world = self._pallas(state.world, commands)
+        ns, reward, term, info = self._post_v(state, world, aux)
+        truncated = ns.steps >= self.env.max_episode_steps
+        done = jnp.logical_or(term, truncated)
+        reset_state = self._reset_state_v(r_noise)
+        out_state = jax.tree.map(
+            lambda r, n: jnp.where(done, r, n), reset_state, ns
+        )
+        return (
+            out_state,
+            self._observe_v(out_state),
+            reward,
+            term,
+            truncated,
+            info,
+        )
 
     def step_env(self, state, actions, key):
         """Raw step without auto-reset/truncation."""
         t_noise = draw_noise(key, self._t_spec, batch=self.n_envs)
         return self._step_env_v(state, actions, t_noise)
+
+
+def _build_pallas_vss(env, n_envs: int, tile: int):
+    """Batched world-step via the fused Pallas kernel (VSS only)."""
+    import jax.numpy as jnp
+
+    from rsoccer_tpu.core.state import BallState, RobotsState, WorldState
+    from rsoccer_tpu.ops.pallas_vss import make_pallas_vss_physics
+    from rsoccer_tpu.physics.vss import HALF_AXLE
+
+    if env.league != "vss":
+        raise NotImplementedError("pallas_physics currently supports VSS only")
+    kernel = make_pallas_vss_physics(
+        env.field, env.physics_cfg, env.time_step,
+        n_robots=env.n_robots, batch=n_envs, tile=min(tile, n_envs),
+    )
+    wheel_r = env.field.rbt_wheel_radius
+
+    def step(world, commands):
+        rb = world.robots
+        rb_arr = jnp.stack([rb.x, rb.y, rb.theta, rb.v_x, rb.v_y, rb.v_theta])
+        ball_arr = jnp.stack(
+            [world.ball.x, world.ball.y, world.ball.v_x, world.ball.v_y]
+        )
+        cmd_arr = jnp.stack([commands.v_wheel0, commands.v_wheel1])
+        rb2, ball2 = kernel(rb_arr, ball_arr, cmd_arr)
+        x, y, theta, vx, vy, w = (rb2[i] for i in range(6))
+        # achieved wheel speeds (same formula as the XLA step's epilogue)
+        u = vx * jnp.cos(theta) + vy * jnp.sin(theta)
+        w0 = (u - w * HALF_AXLE) / wheel_r
+        w1 = (u + w * HALF_AXLE) / wheel_r
+        v_wheel = jnp.stack(
+            [w0, w1, jnp.zeros_like(w0), jnp.zeros_like(w0)], axis=1
+        )  # (N, 4, B)
+        return WorldState(
+            ball=BallState(x=ball2[0], y=ball2[1], v_x=ball2[2], v_y=ball2[3]),
+            robots=RobotsState(
+                x=x, y=y, theta=theta, v_x=vx, v_y=vy, v_theta=w,
+                infrared=rb.infrared, v_wheel=v_wheel,
+            ),
+        )
+
+    return step
 
 
 def _reset_obs(env: Env, noise):

@@ -80,6 +80,7 @@ class VSSEnv(Env):
         self.norm_bounds = 1.2  # reference vss_gym_base.py:26
         self.v_wheel_deadzone = 0.05  # reference vss_gym.py:73
 
+        self.physics_cfg = VSS_PHYSICS
         self._physics = make_vss_step(f, VSS_PHYSICS, time_step)
 
     # ------------------------------------------------------------------ obs
@@ -191,18 +192,25 @@ class VSSEnv(Env):
         return state
 
     # ----------------------------------------------------------------- step
-    def transition(self, state: VSSState, action, noise):
-        f = self.field
-
-        # --- commands: agent wheels + OU-driven teammates/opponents
-        # (reference vss_gym.py:119-142; OU index 0 exists but is never
-        # sampled for the agent)
+    def pre_physics(self, state: VSSState, action, noise):
+        """Commands from state+action+noise (reference vss_gym.py:119-142;
+        OU index 0 exists but is never sampled for the agent).  Split out so
+        the batched layer can route the physics through the fused Pallas
+        kernel (ops/pallas_vss.py)."""
         ou_x = ou.ou_update(state.ou_x, noise["ou"], self.time_step)
         all_actions = ou_x.at[0].set(action)
         wl, wr = self._actions_to_wheels(all_actions)
         commands = VSSCommands(v_wheel0=wl, v_wheel1=wr)
+        return commands, (ou_x, wl, wr)
 
+    def transition(self, state: VSSState, action, noise):
+        commands, aux = self.pre_physics(state, action, noise)
         world = self._physics(state.world, commands)
+        return self.post_physics(state, world, aux)
+
+    def post_physics(self, state: VSSState, world, aux):
+        f = self.field
+        ou_x, wl, wr = aux
 
         # --- reward & done (reference vss_gym.py:144-192)
         b = world.ball

@@ -88,3 +88,44 @@ def test_pallas_trajectory_stable():
     # robots stay in the walls
     assert float(jnp.abs(rb[0]).max()) <= FIELD.half_length
     assert float(jnp.abs(rb[1]).max()) <= FIELD.half_width
+
+
+def test_pallas_batched_env_matches_default():
+    """The pallas-physics BatchedEnv path must reproduce the default path
+    given the same noise (interpret mode on CPU)."""
+    import rsoccer_tpu
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+    import rsoccer_tpu.ops.pallas_vss as pv
+    import functools
+
+    # force interpret mode for CPU
+    orig = pv.make_pallas_vss_physics
+    pv_patched = functools.partial(orig, interpret=True)
+    pv.make_pallas_vss_physics = pv_patched
+    try:
+        env = rsoccer_tpu.make("VSS-v0")
+        Bn = 8
+        benv_ref = BatchedEnv(env, Bn)
+        benv_pal = BatchedEnv(env, Bn, pallas_physics=True, pallas_tile=Bn)
+        key = jax.random.PRNGKey(0)
+        s_ref, o_ref = benv_ref.reset(key)
+        s_pal, o_pal = benv_pal.reset(key)
+        np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_pal), atol=1e-6)
+        acts = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (2, Bn)), jnp.float32
+        )
+        for t in range(5):
+            k = jax.random.PRNGKey(10 + t)
+            s_ref, o_ref, r_ref, te_ref, tr_ref, i_ref = benv_ref.step(s_ref, acts, k)
+            s_pal, o_pal, r_pal, te_pal, tr_pal, i_pal = benv_pal.step(s_pal, acts, k)
+            np.testing.assert_allclose(
+                np.asarray(o_ref), np.asarray(o_pal), atol=5e-4,
+                err_msg=f"obs diverged at step {t}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(r_ref), np.asarray(r_pal), atol=5e-4,
+                err_msg=f"reward diverged at step {t}",
+            )
+            np.testing.assert_array_equal(np.asarray(te_ref), np.asarray(te_pal))
+    finally:
+        pv.make_pallas_vss_physics = orig

@@ -409,3 +409,73 @@ def test_jit_and_vmap(env_id):
     ns, obs2, r, term, trunc, info = step(state, acts, jax.random.PRNGKey(1))
     assert r.shape == (8,)
     assert bool(jnp.isfinite(obs2).all())
+
+
+# --------------------------------------------------------------------------
+# exact observation layouts (element order per reference docstrings/code)
+# --------------------------------------------------------------------------
+
+
+def _norm(v, scale):
+    return np.clip(np.asarray(v) / scale, -1.2, 1.2)
+
+
+def test_dribbling_obs_layout_exact():
+    env = rsoccer_tpu.make("SSLDribbling-v0")
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    state = state._replace(checkpoints=jnp.asarray(3, jnp.int32))
+    obs = np.asarray(env.observe(state))
+    w = state.world
+    assert obs[0] == pytest.approx((3 / 6) * 2 - 1)
+    np.testing.assert_allclose(obs[1], _norm(w.ball.x, 5.5), rtol=1e-5)
+    np.testing.assert_allclose(obs[3], _norm(w.ball.v_x, 2.5), rtol=1e-5)
+    # blue block at 5..12
+    np.testing.assert_allclose(obs[5], _norm(w.robots.x[0], 5.5), rtol=1e-5)
+    np.testing.assert_allclose(obs[7], np.sin(float(w.robots.theta[0])), rtol=1e-5)
+    np.testing.assert_allclose(obs[8], np.cos(float(w.robots.theta[0])), rtol=1e-5)
+    assert obs[12] == -1.0  # infrared off -> -1 (dribbling quirk)
+    # yellow (x, y) pairs at 13..20
+    for i in range(4):
+        np.testing.assert_allclose(
+            obs[13 + 2 * i], _norm(w.robots.x[1 + i], 5.5), rtol=1e-5
+        )
+
+
+def test_contested_possession_obs_layout_exact():
+    env = rsoccer_tpu.make("SSLContestedPossession-v0")
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    obs = np.asarray(obs)
+    w = state.world
+    np.testing.assert_allclose(obs[0], _norm(w.ball.x, 5.5), rtol=1e-5)
+    np.testing.assert_allclose(obs[4], _norm(w.robots.x[0], 5.5), atol=1e-6)
+    np.testing.assert_allclose(obs[6], np.sin(float(w.robots.theta[0])), atol=1e-6)
+    assert obs[11] in (0.0, 1.0)  # infrared in {0,1}
+    np.testing.assert_allclose(obs[12], _norm(w.robots.x[1], 5.5), rtol=1e-5)
+    np.testing.assert_allclose(obs[13], _norm(w.robots.y[1], 5.5), rtol=1e-4)
+
+
+def test_pass_endurance_obs_layout_exact():
+    env = rsoccer_tpu.make("SSLPassEndurance-v0")
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    obs = np.asarray(obs)
+    w = state.world
+    # per blue: x, y, sin, cos, norm_w(v_theta), infrared — NO v_x/v_y
+    for i in range(2):
+        base = 4 + 6 * i
+        np.testing.assert_allclose(obs[base], _norm(w.robots.x[i], 5.5), rtol=1e-4)
+        np.testing.assert_allclose(
+            obs[base + 2], np.sin(float(w.robots.theta[i])), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            obs[base + 3], np.cos(float(w.robots.theta[i])), atol=1e-5
+        )
+        assert obs[base + 5] in (0.0, 1.0)
+    # v_theta normaliser is deg2rad(10) rad/s (the reference divides deg/s
+    # by 10 — SURVEY unit quirk)
+    state2 = state._replace(
+        world=w._replace(
+            robots=w.robots._replace(v_theta=w.robots.v_theta.at[0].set(0.1))
+        )
+    )
+    obs2 = np.asarray(env.observe(state2))
+    np.testing.assert_allclose(obs2[8], 0.1 / np.deg2rad(10.0), rtol=1e-4)

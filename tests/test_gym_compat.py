@@ -102,3 +102,24 @@ def test_ssl_render():
     img = env.render()
     assert img is not None and img.ndim == 3
     env.close()
+
+
+def test_vector_env():
+    from rsoccer_tpu.gym_compat.vector import VectorGymnasiumEnv
+
+    venv = VectorGymnasiumEnv("VSS-v0", num_envs=16)
+    obs, info = venv.reset(seed=3)
+    assert obs.shape == (16, 40)
+    acts = venv.action_space.sample()
+    obs, rew, term, trunc, info = venv.step(acts)
+    assert obs.shape == (16, 40)
+    assert rew.shape == (16,)
+    assert term.dtype == bool and trunc.dtype == bool
+    assert "goal_score" in info
+    # determinism across instances
+    v2 = VectorGymnasiumEnv("VSS-v0", num_envs=16)
+    o2, _ = v2.reset(seed=3)
+    import numpy as np
+
+    np.testing.assert_array_equal(obs.shape, o2.shape)
+    venv.close(); v2.close()

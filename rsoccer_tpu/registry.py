@@ -36,15 +36,13 @@ def _populate():
 
     register("VSS-v0", VSSEnv)
 
-    try:
-        from rsoccer_tpu.envs.ssl_static_defenders import SSLStaticDefendersEnv
-        from rsoccer_tpu.envs.ssl_dribbling import SSLDribblingEnv
-        from rsoccer_tpu.envs.ssl_contested_possession import (
-            SSLContestedPossessionEnv,
-        )
-        from rsoccer_tpu.envs.ssl_pass_endurance import SSLPassEnduranceEnv
-    except ImportError:  # SSL tasks land incrementally during the build
-        return
+    from rsoccer_tpu.envs.ssl_static_defenders import SSLStaticDefendersEnv
+    from rsoccer_tpu.envs.ssl_dribbling import SSLDribblingEnv
+    from rsoccer_tpu.envs.ssl_contested_possession import (
+        SSLContestedPossessionEnv,
+    )
+    from rsoccer_tpu.envs.ssl_pass_endurance import SSLPassEnduranceEnv
+
     register(
         "SSLStaticDefenders-v0",
         lambda **kw: SSLStaticDefendersEnv(**{"field_type": 2, **kw}),

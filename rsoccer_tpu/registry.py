@@ -51,5 +51,10 @@ def _populate():
     register("SSLContestedPossession-v0", SSLContestedPossessionEnv)
     register("SSLPassEndurance-v0", SSLPassEnduranceEnv)
 
+    # extensions beyond the reference surface
+    from rsoccer_tpu.envs.vss_multiagent import VSSMultiAgentEnv
+
+    register("VSSMultiAgent-v0", VSSMultiAgentEnv)
+
 
 _populate()

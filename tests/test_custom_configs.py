@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import rsoccer_tpu
 from rsoccer_tpu.core.frame import frame_from_batched, frame_from_world
 from rsoccer_tpu.envs import VSSEnv
 
@@ -55,3 +56,31 @@ def test_frame_views():
     np.testing.assert_allclose(
         f2.ball.x, float(bstate.world.ball.x[2]), rtol=1e-6
     )
+
+
+def test_multiagent_vss():
+    env = rsoccer_tpu.make("VSSMultiAgent-v0")
+    assert env.action_size == 6
+    assert env.obs_size == 40
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    # drive all three blues forward
+    act = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+    x0 = np.asarray(state.world.robots.x[:3]).copy()
+    for t in range(20):
+        state, obs, r, term, trunc, info = env.step(state, act, jax.random.PRNGKey(t))
+        if bool(term) or bool(trunc):
+            break
+    moved = np.abs(np.asarray(state.world.robots.x[:3]) - x0) + 1e-9
+    assert (moved > 1e-3).all()  # every blue moved under policy control
+    assert bool(jnp.isfinite(obs).all())
+
+
+def test_multiagent_vss_batched():
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+
+    env = rsoccer_tpu.make("VSSMultiAgent-v0")
+    benv = BatchedEnv(env, 8)
+    state, obs = benv.reset(jax.random.PRNGKey(0))
+    acts = jnp.zeros((6, 8))
+    ns, obs2, r, te, tr, info = jax.jit(benv.step)(state, acts, jax.random.PRNGKey(1))
+    assert obs2.shape == (40, 8)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rsoccer_tpu.core.state import WorldState, zero_ssl_commands
+from rsoccer_tpu.envs import spawn
 from rsoccer_tpu.envs.ssl_common import SSLTaskBase
 
 _SHAPING_KEYS = ("reversed_dist", "ball_grad")
@@ -106,11 +107,9 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         shooter_theta = jnp.where(factor > 0, -jnp.pi / 2, jnp.pi / 2)
 
         # receiver x: uniform +-1.5 rejected to |recv_x - ball_x| >= 1
-        from rsoccer_tpu.envs import spawn as _spawn
-
         cand = -1.5 + noise["recv_x"] * 3.0
         ok = jnp.abs(cand - ball_x) >= 1.0
-        (recv_x,) = _spawn.pick_first(ok, cand)
+        (recv_x,) = spawn.pick_first(ok, cand)
         recv_y = -ball_y
         vx = recv_x - shooter_x
         vy = recv_y - shooter_y

@@ -3,9 +3,10 @@
 The reference has no vector API at all (SURVEY §2: not even
 ``gymnasium.vector``); this gives gymnasium-ecosystem users (e.g.
 vector-env-based training loops) the batched TPU engine behind the standard
-``VectorEnv`` interface: numpy in, numpy out, auto-reset semantics matching
-gymnasium's (the step that ends an episode returns the *reset* observation;
-the final observation rides in ``info["final_observation"]``).
+``VectorEnv`` interface: numpy in, numpy out.  Auto-reset: the step that
+ends an episode returns the *reset* observation (the final pre-reset
+observation is not surfaced — rewards/terminations still describe the
+ending step, which is what on-policy learners consume).
 """
 
 from __future__ import annotations

@@ -38,6 +38,10 @@ struct PhysicsParams {
   float rest_ball_wall;
   float rest_ball_robot;
   float rest_robot_robot;
+  float gravity;
+  float rest_ball_ground;
+  float ball_bounce_min_v;
+  float rbt_height;
 };
 
 constexpr float kHalfAxle = 0.04f;  // reference vss_gym_base.py:57-58
@@ -61,7 +65,7 @@ inline float clipf(float v, float lo, float hi) {
 extern "C" {
 
 // State layout (all float32):
-//   ball[4]  = {x, y, vx, vy}
+//   ball[6]  = {x, y, z, vx, vy, vz}   (z = center height, rest = radius)
 //   robots   = n x {x, y, theta, vx, vy, vtheta}  (row-major, 6 per robot)
 //   commands = n x {wheel_left, wheel_right} rad/s
 // Steps the world by dt using the same substep sequence as the JAX kernel.
@@ -153,22 +157,34 @@ void vss_step(const FieldParams* field, const PhysicsParams* phys, float dt,
       r[1] = clipf(r[1], -yl, yl);
     }
 
-    // --- ball friction + integrate
+    // --- ball friction (grounded only) + vertical axis + integrate.
+    //     ball = {x, y, z, vx, vy, vz}
     {
-      float speed = std::sqrt(ball[2] * ball[2] + ball[3] * ball[3]);
-      float scale =
-          std::fmax(0.0f, 1.0f - phys->ball_friction_decel * dts /
-                              std::fmax(speed, kEps));
-      ball[2] *= scale;
-      ball[3] *= scale;
-      ball[0] += ball[2] * dts;
-      ball[1] += ball[3] * dts;
+      bool on_ground = ball[2] <= field->ball_radius + 1e-4f;
+      if (on_ground) {
+        float speed = std::sqrt(ball[3] * ball[3] + ball[4] * ball[4]);
+        float scale =
+            std::fmax(0.0f, 1.0f - phys->ball_friction_decel * dts /
+                                std::fmax(speed, kEps));
+        ball[3] *= scale;
+        ball[4] *= scale;
+      }
+      ball[5] -= phys->gravity * dts;
+      ball[2] += ball[5] * dts;
+      if (ball[2] < field->ball_radius) {
+        if (ball[5] < 0.0f) ball[5] = -phys->rest_ball_ground * ball[5];
+        if (ball[5] < phys->ball_bounce_min_v) ball[5] = 0.0f;
+        ball[2] = field->ball_radius;
+      }
+      ball[0] += ball[3] * dts;
+      ball[1] += ball[4] * dts;
     }
 
     // --- ball-robot collisions (ball takes full correction; contributions
     //     accumulated from the pre-correction ball state, matching the
-    //     vectorised JAX kernel)
-    {
+    //     vectorised JAX kernel).  Skipped while the ball flies above the
+    //     robot top plate.
+    if (ball[2] - field->ball_radius < phys->rbt_height) {
       float acc_px = 0, acc_py = 0, acc_vx = 0, acc_vy = 0;
       for (int i = 0; i < n_robots; ++i) {
         float dx = ball[0] - robots[6 * i];
@@ -181,8 +197,8 @@ void vss_step(const FieldParams* field, const PhysicsParams* phys, float dt,
         float ny = dy / std::fmax(d, kEps);
         acc_px += overlap * nx;
         acc_py += overlap * ny;
-        float rvx = ball[2] - robots[6 * i + 3];
-        float rvy = ball[3] - robots[6 * i + 4];
+        float rvx = ball[3] - robots[6 * i + 3];
+        float rvy = ball[4] - robots[6 * i + 4];
         float vn = rvx * nx + rvy * ny;
         if (vn < 0.0f) {
           float jimp = -(1.0f + phys->rest_ball_robot) * vn;
@@ -192,8 +208,8 @@ void vss_step(const FieldParams* field, const PhysicsParams* phys, float dt,
       }
       ball[0] += acc_px;
       ball[1] += acc_py;
-      ball[2] += acc_vx;
-      ball[3] += acc_vy;
+      ball[3] += acc_vx;
+      ball[4] += acc_vy;
     }
 
     // --- ball-wall reflection with goal pockets
@@ -207,7 +223,7 @@ void vss_step(const FieldParams* field, const PhysicsParams* phys, float dt,
       float sx = ball[0] > 0 ? 1.0f : (ball[0] < 0 ? -1.0f : 0.0f);
       if (std::fabs(ball[0]) > x_wall) {
         ball[0] = sx * x_wall;
-        if (ball[2] * sx > 0) ball[2] = -phys->rest_ball_wall * ball[2];
+        if (ball[3] * sx > 0) ball[3] = -phys->rest_ball_wall * ball[3];
       }
       bool in_pocket = std::fabs(ball[0]) > field->half_length;
       float y_wall =
@@ -215,7 +231,7 @@ void vss_step(const FieldParams* field, const PhysicsParams* phys, float dt,
       float sy = ball[1] > 0 ? 1.0f : (ball[1] < 0 ? -1.0f : 0.0f);
       if (std::fabs(ball[1]) > y_wall) {
         ball[1] = sy * y_wall;
-        if (ball[3] * sy > 0) ball[3] = -phys->rest_ball_wall * ball[3];
+        if (ball[4] * sy > 0) ball[4] = -phys->rest_ball_wall * ball[4];
       }
     }
   }

@@ -46,7 +46,8 @@ class ReachBallEnv(Env):
         world = WorldState(
             ball=BallState(
                 x=jnp.asarray(f.half_length - f.penalty_length),
-                y=jnp.zeros(()), v_x=jnp.zeros(()), v_y=jnp.zeros(()),
+                y=jnp.zeros(()), z=jnp.asarray(f.ball_radius),
+                v_x=jnp.zeros(()), v_y=jnp.zeros(()), v_z=jnp.zeros(()),
             ),
             robots=RobotsState(
                 x=jnp.zeros((1,)), y=jnp.zeros((1,)), theta=jnp.zeros((1,)),

@@ -59,6 +59,9 @@ class BatchedEnv:
             lambda noise: _reset_obs(env, noise), in_axes=-1, out_axes=-1
         )
         self._step_v = jax.vmap(env.step_with_noise, in_axes=-1, out_axes=-1)
+        self._step_final_v = jax.vmap(
+            env.step_with_noise_final, in_axes=-1, out_axes=-1
+        )
         self._step_env_v = jax.vmap(
             lambda s, a, n: _step_env(env, s, a, n), in_axes=-1, out_axes=-1
         )
@@ -110,6 +113,15 @@ class BatchedEnv:
             info,
         )
 
+    def step_final(self, state, actions, key):
+        """Auto-resetting step that also returns the final pre-reset obs
+        (gymnasium same-step autoreset convention).  Returns
+        (state, obs, final_obs, reward, term, trunc, info)."""
+        kt, kr = jax.random.split(key)
+        t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
+        r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
+        return self._step_final_v(state, actions, t_noise, r_noise)
+
     def step_env(self, state, actions, key):
         """Raw step without auto-reset/truncation."""
         t_noise = draw_noise(key, self._t_spec, batch=self.n_envs)
@@ -135,9 +147,8 @@ def _build_pallas_vss(env, n_envs: int, tile: int):
     def step(world, commands):
         rb = world.robots
         rb_arr = jnp.stack([rb.x, rb.y, rb.theta, rb.v_x, rb.v_y, rb.v_theta])
-        ball_arr = jnp.stack(
-            [world.ball.x, world.ball.y, world.ball.v_x, world.ball.v_y]
-        )
+        b = world.ball
+        ball_arr = jnp.stack([b.x, b.y, b.z, b.v_x, b.v_y, b.v_z])
         cmd_arr = jnp.stack([commands.v_wheel0, commands.v_wheel1])
         rb2, ball2 = kernel(rb_arr, ball_arr, cmd_arr)
         x, y, theta, vx, vy, w = (rb2[i] for i in range(6))
@@ -149,7 +160,10 @@ def _build_pallas_vss(env, n_envs: int, tile: int):
             [w0, w1, jnp.zeros_like(w0), jnp.zeros_like(w0)], axis=1
         )  # (N, 4, B)
         return WorldState(
-            ball=BallState(x=ball2[0], y=ball2[1], v_x=ball2[2], v_y=ball2[3]),
+            ball=BallState(
+                x=ball2[0], y=ball2[1], z=ball2[2],
+                v_x=ball2[3], v_y=ball2[4], v_z=ball2[5],
+            ),
             robots=RobotsState(
                 x=x, y=y, theta=theta, v_x=vx, v_y=vy, v_theta=w,
                 infrared=rb.infrared, v_wheel=v_wheel,

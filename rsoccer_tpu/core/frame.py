@@ -69,8 +69,8 @@ def frame_from_world(world, n_blue: int, n_yellow: int) -> Frame:
     b = world.ball
     frame = Frame(
         ball=Ball(
-            x=float(b.x), y=float(b.y), z=0.0,
-            v_x=float(b.v_x), v_y=float(b.v_y), v_z=0.0,
+            x=float(b.x), y=float(b.y), z=float(b.z),
+            v_x=float(b.v_x), v_y=float(b.v_y), v_z=float(b.v_z),
         )
     )
     rb = world.robots

@@ -24,10 +24,21 @@ import jax.numpy as jnp
 
 
 class BallState(NamedTuple):
+    """Ball pose/velocity incl. the vertical axis.
+
+    The reference's state vector carries ball z (Entities/Frame.py:21 parses
+    ``ball.z`` for both leagues) and SSL commands carry a vertical kick
+    component (Simulators/rsim.py:147).  ``z`` is the ball CENTER height —
+    the ODE sphere-on-plane convention of the rSim engine — so its rest
+    value is ``ball_radius``, not 0.
+    """
+
     x: jnp.ndarray
     y: jnp.ndarray
+    z: jnp.ndarray  # center height, m; rest = ball_radius
     v_x: jnp.ndarray
     v_y: jnp.ndarray
+    v_z: jnp.ndarray
 
 
 class RobotsState(NamedTuple):
@@ -50,12 +61,19 @@ class WorldState(NamedTuple):
     robots: RobotsState
 
 
-def make_world(n_robots: int, dtype=jnp.float32) -> WorldState:
-    """A zero-initialised single-env world with ``n_robots`` total robots."""
+def make_world(
+    n_robots: int, dtype=jnp.float32, ball_radius: float = 0.0215
+) -> WorldState:
+    """A zero-initialised single-env world with ``n_robots`` total robots.
+
+    The ball rests on the ground: ``z = ball_radius`` (center height).
+    """
     z = jnp.zeros((), dtype)
     zn = jnp.zeros((n_robots,), dtype)
     return WorldState(
-        ball=BallState(x=z, y=z, v_x=z, v_y=z),
+        ball=BallState(
+            x=z, y=z, z=jnp.asarray(ball_radius, dtype), v_x=z, v_y=z, v_z=z
+        ),
         robots=RobotsState(
             x=zn,
             y=zn,
@@ -95,7 +113,7 @@ class SSLCommands(NamedTuple):
     v_y: jnp.ndarray  # (N,)
     v_theta: jnp.ndarray  # (N,) rad/s
     kick_v_x: jnp.ndarray  # (N,) m/s kick speed along heading (<=0: no kick)
-    kick_v_z: jnp.ndarray  # (N,) accepted for contract parity; ball stays 2D
+    kick_v_z: jnp.ndarray  # (N,) m/s vertical kick speed (chip kick)
     dribbler: jnp.ndarray  # (N,) bool
 
 

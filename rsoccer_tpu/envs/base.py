@@ -146,6 +146,32 @@ class Env:
             info,
         )
 
+    def step_with_noise_final(self, state, action, t_noise, r_noise):
+        """Like :meth:`step_with_noise` but additionally returns the FINAL
+        (pre-auto-reset) observation — gymnasium's same-step autoreset
+        convention surfaces it as ``final_obs``.  Costs a second obs build,
+        so only API-compat layers use it; the hot rollout path does not.
+
+        Returns (state, obs, final_obs, reward, terminated, truncated, info).
+        """
+        ns, reward, terminated, info = self.transition(state, action, t_noise)
+        truncated = ns.steps >= self.max_episode_steps
+        done = jnp.logical_or(terminated, truncated)
+        final_obs = self.observe(ns)
+        reset_state = self.reset_state(r_noise)
+        out_state = jax.tree.map(
+            lambda r, n: jnp.where(done, r, n), reset_state, ns
+        )
+        return (
+            out_state,
+            self.observe(out_state),
+            final_obs,
+            reward,
+            terminated,
+            truncated,
+            info,
+        )
+
     # -- key-based conveniences (single-env) -------------------------------
     def reset(self, key) -> Tuple[Any, jnp.ndarray]:
         state = strongify(self.reset_state(draw_noise(key, self.reset_noise_spec())))

@@ -165,7 +165,8 @@ class SSLTaskBase(Env):
         return WorldState(
             ball=BallState(
                 x=jnp.asarray(ball_x), y=jnp.asarray(ball_y),
-                v_x=jnp.zeros(()), v_y=jnp.zeros(()),
+                z=jnp.asarray(self.field.ball_radius),
+                v_x=jnp.zeros(()), v_y=jnp.zeros(()), v_z=jnp.zeros(()),
             ),
             robots=RobotsState(
                 x=jnp.asarray(rx), y=jnp.asarray(ry), theta=jnp.asarray(rtheta),

@@ -169,7 +169,10 @@ class VSSEnv(Env):
         thetas = spawn.angles_from_uniform(noise["theta"])
         zn = jnp.zeros((self.n_robots,))
         world = WorldState(
-            ball=BallState(x=xs[0], y=ys[0], v_x=jnp.zeros(()), v_y=jnp.zeros(())),
+            ball=BallState(
+                x=xs[0], y=ys[0], z=jnp.asarray(f.ball_radius),
+                v_x=jnp.zeros(()), v_y=jnp.zeros(()), v_z=jnp.zeros(()),
+            ),
             robots=RobotsState(
                 x=xs[1:],
                 y=ys[1:],

@@ -87,13 +87,17 @@ class GymnasiumEnv(gym.Env):
         truncated = self.steps >= self.env.max_episode_steps
         if self.render_mode == "human":
             self.render()
-        host_info = {k_: float(v) for k_, v in info.items()}
+        # one batched D2H transfer for the whole step result (a per-value
+        # float() fetch costs one device round-trip each)
+        obs_h, reward_h, term_h, info_h = jax.device_get(
+            (obs, reward, terminated, info)
+        )
         return (
-            np.asarray(obs),
-            float(reward),
-            bool(terminated),
+            np.asarray(obs_h),
+            float(reward_h),
+            bool(term_h),
             bool(truncated),
-            host_info,
+            {k_: float(v) for k_, v in info_h.items()},
         )
 
     @property

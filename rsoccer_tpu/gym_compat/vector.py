@@ -3,10 +3,15 @@
 The reference has no vector API at all (SURVEY §2: not even
 ``gymnasium.vector``); this gives gymnasium-ecosystem users (e.g.
 vector-env-based training loops) the batched TPU engine behind the standard
-``VectorEnv`` interface: numpy in, numpy out.  Auto-reset: the step that
-ends an episode returns the *reset* observation (the final pre-reset
-observation is not surfaced — rewards/terminations still describe the
-ending step, which is what on-policy learners consume).
+``VectorEnv`` interface: numpy in, numpy out.
+
+Auto-reset follows gymnasium's SAME_STEP convention
+(``metadata["autoreset_mode"] = AutoresetMode.SAME_STEP``): the step that
+ends an episode returns the *reset* observation, while the final pre-reset
+observation and that episode's info are surfaced under ``infos["final_obs"]``
+/ ``infos["final_info"]`` with the standard ``_final_obs`` mask — what
+gymnasium-convention training code (e.g. advantage bootstrapping on
+truncation) relies on.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ from rsoccer_tpu.batch.vecenv import BatchedEnv
 
 class VectorGymnasiumEnv(gym.vector.VectorEnv):
     """numpy-facing vectorised env backed by a jitted batched step."""
+
+    metadata = {"autoreset_mode": gym.vector.AutoresetMode.SAME_STEP}
 
     def __init__(self, env_id: str, num_envs: int, **kwargs):
         self.env = rsoccer_tpu.make(env_id, **kwargs)
@@ -44,7 +51,7 @@ class VectorGymnasiumEnv(gym.vector.VectorEnv):
         self._state = None
         self._key = jax.random.PRNGKey(0)
         self._reset_fn = jax.jit(self.benv.reset)
-        self._step_fn = jax.jit(self.benv.step)
+        self._step_fn = jax.jit(self.benv.step_final)
 
     def reset(self, *, seed: Optional[int] = None, options=None):
         if seed is not None:
@@ -56,15 +63,33 @@ class VectorGymnasiumEnv(gym.vector.VectorEnv):
     def step(self, actions):
         actions = jnp.asarray(actions, jnp.float32).T  # (A, B) lane layout
         self._key, k = jax.random.split(self._key)
-        self._state, obs, reward, term, trunc, info = self._step_fn(
+        self._state, obs, final_obs, reward, term, trunc, info = self._step_fn(
             self._state, actions, k
         )
+        # one batched D2H transfer for everything
+        obs, final_obs, reward, term, trunc, info = jax.device_get(
+            (obs, final_obs, reward, term, trunc, info)
+        )
+        infos = {k_: np.asarray(v) for k_, v in info.items()}
+        done = np.logical_or(term, trunc)
+        if done.any():
+            # gymnasium SAME_STEP convention: object arrays masked by done
+            fo = np.full(self.num_envs, None, dtype=object)
+            fi = np.full(self.num_envs, None, dtype=object)
+            final_obs_t = np.asarray(final_obs).T  # (B, obs)
+            for i in np.nonzero(done)[0]:
+                fo[i] = final_obs_t[i]
+                fi[i] = {k_: infos[k_][i] for k_ in infos}
+            infos["final_obs"] = fo
+            infos["_final_obs"] = done.copy()
+            infos["final_info"] = fi
+            infos["_final_info"] = done.copy()
         return (
             np.asarray(obs).T,
             np.asarray(reward),
             np.asarray(term),
             np.asarray(trunc),
-            {k_: np.asarray(v) for k_, v in info.items()},
+            infos,
         )
 
     def close_extras(self, **kwargs):

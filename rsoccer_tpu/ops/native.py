@@ -49,6 +49,10 @@ class _CPhysics(ctypes.Structure):
         ("rest_ball_wall", ctypes.c_float),
         ("rest_ball_robot", ctypes.c_float),
         ("rest_robot_robot", ctypes.c_float),
+        ("gravity", ctypes.c_float),
+        ("rest_ball_ground", ctypes.c_float),
+        ("ball_bounce_min_v", ctypes.c_float),
+        ("rbt_height", ctypes.c_float),
     ]
 
 
@@ -81,7 +85,7 @@ def vss_step_native(
     field: FieldParams,
     cfg: PhysicsConfig,
     dt: float,
-    ball: np.ndarray,  # (4,) x, y, vx, vy — modified in place
+    ball: np.ndarray,  # (6,) x, y, z, vx, vy, vz — modified in place
     robots: np.ndarray,  # (N, 6) x, y, theta, vx, vy, vtheta — in place
     commands: np.ndarray,  # (N, 2) wheel rad/s
 ) -> np.ndarray:
@@ -107,6 +111,10 @@ def vss_step_native(
         rest_ball_wall=cfg.rest_ball_wall,
         rest_ball_robot=cfg.rest_ball_robot,
         rest_robot_robot=cfg.rest_robot_robot,
+        gravity=cfg.gravity,
+        rest_ball_ground=cfg.rest_ball_ground,
+        ball_bounce_min_v=cfg.ball_bounce_min_v,
+        rbt_height=cfg.rbt_height,
     )
     ball_c = np.ascontiguousarray(ball, np.float32)
     robots_c = np.ascontiguousarray(robots, np.float32)

@@ -8,9 +8,10 @@ equivalence is pinned by tests (interpret mode on CPU; see also the C++
 oracle).  Batched lane layout: every array carries the env batch in the
 trailing dimension.
 
-Status: experimental — not yet wired into the envs (integration planned for
-the next round after TPU profiling shows the launch-overhead savings); use
-``make_pallas_vss_physics`` directly for kernels benchmarking.
+Wired into the envs via ``BatchedEnv(pallas_physics=True)``
+(batch/vecenv.py); ``make_pallas_vss_physics`` is also usable directly for
+kernel benchmarking.  The full-step kernel (physics + task logic fused, no
+per-step pack/unpack) lives in ``ops.pallas_vss_full``.
 """
 
 from __future__ import annotations
@@ -42,8 +43,9 @@ def make_pallas_vss_physics(
     tile: int = 1024,
     interpret: bool = False,
 ):
-    """Build ``step(robots (6,N,B), ball (4,B), commands (2,N,B)) ->
-    (robots, ball)`` where robots rows are [x, y, theta, vx, vy, vtheta]."""
+    """Build ``step(robots (6,N,B), ball (6,B), commands (2,N,B)) ->
+    (robots, ball)`` where robots rows are [x, y, theta, vx, vy, vtheta]
+    and ball rows are [x, y, z, vx, vy, vz] (z = center height)."""
     if batch % tile:
         raise ValueError(f"batch {batch} not divisible by tile {tile}")
 
@@ -60,11 +62,11 @@ def make_pallas_vss_physics(
 
     def kernel(rb_ref, ball_ref, cmd_ref, rb_out, ball_out):
         rb = rb_ref[...]  # (6, N, T)
-        ball = ball_ref[...]  # (4, T)
+        ball = ball_ref[...]  # (6, T)
         cmd = cmd_ref[...]  # (2, N, T)
 
         x, y, theta, vx, vy, w = (rb[i] for i in range(6))
-        bx, by, bvx, bvy = (ball[i] for i in range(4))
+        bx, by, bz, bvx, bvy, bvz = (ball[i] for i in range(6))
 
         wl = jnp.clip(cmd[0], -max_wheel, max_wheel)
         wr = jnp.clip(cmd[1], -max_wheel, max_wheel)
@@ -124,20 +126,33 @@ def make_pallas_vss_physics(
             x = jnp.clip(x, -xl, xl)
             y = jnp.clip(y, -yl, yl)
 
-            # ball friction + integrate
+            # ball friction (grounded only) + vertical axis + integrate
+            on_ground = bz <= r_ball + 1e-4
             speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
             scale = jnp.maximum(0.0, 1.0 - cfg.ball_friction_decel * dts / speed)
-            bvx = bvx * scale
-            bvy = bvy * scale
+            bvx = jnp.where(on_ground, bvx * scale, bvx)
+            bvy = jnp.where(on_ground, bvy * scale, bvy)
+            bvz = bvz - cfg.gravity * dts
+            bz = bz + bvz * dts
+            hit_floor = bz < r_ball
+            bvz = jnp.where(
+                hit_floor & (bvz < 0.0), -cfg.rest_ball_ground * bvz, bvz
+            )
+            bvz = jnp.where(
+                hit_floor & (bvz < cfg.ball_bounce_min_v), 0.0, bvz
+            )
+            bz = jnp.where(hit_floor, r_ball, bz)
             bx = bx + bvx * dts
             by = by + bvy * dts
 
-            # ball-robot collisions (N, T) contributions
+            # ball-robot collisions (N, T) contributions; a ball above the
+            # robot top plate flies over
+            below_top = (bz - r_ball) < cfg.rbt_height
             bdx = bx[None] - x
             bdy = by[None] - y
             bd = jnp.sqrt(jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS))
             boverlap = (r_rbt + r_ball) - bd
-            bcol = boverlap > 0.0
+            bcol = (boverlap > 0.0) & below_top[None]
             bnx = bdx / jnp.maximum(bd, _EPS)
             bny = bdy / jnp.maximum(bd, _EPS)
             bx = bx + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bnx, axis=0)
@@ -170,7 +185,7 @@ def make_pallas_vss_physics(
             )
 
         rb_out[...] = jnp.stack([x, y, theta, vx, vy, w])
-        ball_out[...] = jnp.stack([bx, by, bvx, bvy])
+        ball_out[...] = jnp.stack([bx, by, bz, bvx, bvy, bvz])
 
     n = n_robots
     grid = (batch // tile,)
@@ -179,16 +194,16 @@ def make_pallas_vss_physics(
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, n, tile), lambda i: (0, 0, i)),
-            pl.BlockSpec((4, tile), lambda i: (0, i)),
+            pl.BlockSpec((6, tile), lambda i: (0, i)),
             pl.BlockSpec((2, n, tile), lambda i: (0, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((6, n, tile), lambda i: (0, 0, i)),
-            pl.BlockSpec((4, tile), lambda i: (0, i)),
+            pl.BlockSpec((6, tile), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((6, n, batch), jnp.float32),
-            jax.ShapeDtypeStruct((4, batch), jnp.float32),
+            jax.ShapeDtypeStruct((6, batch), jnp.float32),
         ],
         interpret=interpret,
     )

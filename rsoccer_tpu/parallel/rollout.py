@@ -57,7 +57,8 @@ def make_shard_map_rollout(
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     from rsoccer_tpu.parallel.mesh import ENV_AXIS
 
@@ -89,7 +90,7 @@ def make_shard_map_rollout(
             mesh=mesh,
             in_specs=(in_spec,),
             out_specs=(in_spec, metrics_spec),
-            check_rep=False,
+            check_vma=False,
         )
         def sharded(carry):
             idx = jax.lax.axis_index(ENV_AXIS)

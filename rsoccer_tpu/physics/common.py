@@ -56,10 +56,14 @@ def resolve_robot_robot(x, y, v_x, v_y, radius: float, restitution: float):
 
 
 def resolve_ball_robots(
-    bx, by, bvx, bvy, rx, ry, rvx, rvy, robot_radius: float, ball_radius: float, restitution: float
+    bx, by, bvx, bvy, rx, ry, rvx, rvy, robot_radius: float, ball_radius: float, restitution: float,
+    active=None,
 ):
     """Ball vs N robot discs.  Ball takes the full correction (mass ratio ~0);
     robots are unaffected.  Returns corrected ball (x, y, v_x, v_y).
+
+    ``active``: optional scalar bool — when False every contact is ignored
+    (a chipped ball above ``rbt_height`` flies over the robots).
     """
     dx = bx - rx
     dy = by - ry
@@ -68,6 +72,8 @@ def resolve_ball_robots(
     min_d = robot_radius + ball_radius
     overlap = min_d - d
     colliding = overlap > 0.0
+    if active is not None:
+        colliding = colliding & active
 
     nx = dx / jnp.maximum(d, _EPS)
     ny = dy / jnp.maximum(d, _EPS)
@@ -148,6 +154,43 @@ def apply_ball_friction(bvx, bvy, decel: float, dt: float):
     speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
     scale = jnp.maximum(0.0, 1.0 - decel * dt / speed)
     return bvx * scale, bvy * scale
+
+
+def step_ball_vertical(
+    z,
+    v_z,
+    ball_radius: float,
+    gravity: float,
+    restitution: float,
+    min_bounce_v: float,
+    dt: float,
+):
+    """One vertical substep: gravity, floor bounce, bounce settling.
+
+    ``z`` is the ball CENTER height (ODE sphere-on-plane convention; rest
+    value = ``ball_radius``).  The floor bounce reflects the downward
+    velocity with ``restitution`` (grSim-lineage BallBounce) and kills
+    rebounds slower than ``min_bounce_v`` (BallBounceVel) so a resting ball
+    stays exactly at rest — see docs/fidelity.md.
+
+    Returns (z, v_z).  Branch-free; works on any shape.
+    """
+    v_z = v_z - gravity * dt
+    z = z + v_z * dt
+    hit = z < ball_radius
+    v_z = jnp.where(hit & (v_z < 0.0), -restitution * v_z, v_z)
+    v_z = jnp.where(hit & (v_z < min_bounce_v), 0.0, v_z)
+    z = jnp.where(hit, ball_radius, z)
+    return z, v_z
+
+
+def ball_on_ground(z, ball_radius: float):
+    """Ground-contact predicate for gating rolling friction.
+
+    The vertical substep clamps a grounded ball to exactly ``ball_radius``,
+    so a small absolute tolerance suffices.
+    """
+    return z <= ball_radius + 1e-4
 
 
 def wrap_angle(theta):

@@ -33,6 +33,16 @@ class PhysicsConfig:
     ball_mass: float = 0.046
     robot_mass: float = 0.5
 
+    # vertical axis (chip kicks / bounces).  The reference state carries
+    # ball z (Entities/Frame.py:21) and SSL commands carry kick_v_z
+    # (Simulators/rsim.py:147); rSim inherits grSim's ODE ball contact
+    # parameters — BallBounce 0.5 and BallBounceVel 0.1 are the grSim
+    # lineage defaults (see docs/fidelity.md).
+    gravity: float = 9.81  # m/s^2
+    rest_ball_ground: float = 0.5  # bounce restitution off the floor
+    ball_bounce_min_v: float = 0.1  # m/s — bounces slower than this settle
+    rbt_height: float = 0.15  # m — ball passes over robots above this
+
     # restitution
     rest_ball_wall: float = 0.6
     rest_ball_robot: float = 0.5
@@ -43,6 +53,7 @@ class PhysicsConfig:
 
     # SSL kicker/dribbler
     kicker_depth_slack: float = 0.01  # m — contact tolerance beyond kicker face
+    kicker_height: float = 0.05  # m — max ball-bottom height for kicker contact
     dribbler_pull_accel: float = 40.0  # m/s^2 — spring pull toward kicker face
     dribbler_damping: float = 30.0  # 1/s — relative-velocity damping when held
     dribbler_capture_speed: float = 2.0  # m/s — max relative speed to hold
@@ -53,6 +64,7 @@ VSS_PHYSICS = PhysicsConfig(
     robot_alpha=180.0,
     ball_friction_decel=0.6,
     robot_mass=0.25,
+    rbt_height=0.075,  # VSS robots are 75 mm cubes
 )
 
 SSL_PHYSICS = PhysicsConfig(
@@ -60,4 +72,5 @@ SSL_PHYSICS = PhysicsConfig(
     robot_alpha=50.0,
     ball_friction_decel=0.35,
     robot_mass=2.5,
+    rbt_height=0.147,  # SSL rule-book max robot height
 )

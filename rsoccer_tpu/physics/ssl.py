@@ -14,10 +14,12 @@ omni-drive kinematics for the mount angles in FieldParams); achieved wheel
 speeds are reported through the forward jacobian.
 
 Kicker: when the ball touches the kicker face (infrared) and ``kick_v_x > 0``
-the ball's velocity along the robot heading is set to ``kick_v_x``.
-``kick_v_z`` is accepted for contract parity but the ball is 2D — chip kicks
-behave as flat kicks (documented divergence; no reference task distinguishes
-them: all tasks command kick_v_z = 0).
+the ball's velocity along the robot heading is set to ``kick_v_x``; a
+``kick_v_z > 0`` additionally launches the ball vertically (chip kick,
+Simulators/rsim.py:147).  A chipped ball follows ballistic flight with
+floor bounces (physics/common.step_ball_vertical) and passes over robots
+while above ``rbt_height``; kicker contact itself requires the ball low
+enough for the kicker plate (``kicker_height``).
 
 Dribbler: a spring-damper pull toward the kicker face while in the capture
 zone — ball remains stealable by impulse, matching the contested-possession
@@ -86,15 +88,23 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         direct = jnp.stack([commands.v_x, commands.v_y, commands.v_theta], -1)
         return jnp.where(commands.wheel_speed[:, None], from_wheels, direct)
 
-    def ball_contact(rb_x, rb_y, rb_theta, bx, by):
-        """Infrared predicate: ball center inside the kicker face zone."""
+    def ball_contact(rb_x, rb_y, rb_theta, bx, by, bz):
+        """Infrared predicate: ball center inside the kicker face zone and
+        low enough for the kicker plate (a chipped ball in flight does not
+        trigger infrared)."""
         cos_t = jnp.cos(rb_theta)
         sin_t = jnp.sin(rb_theta)
         dx = bx - rb_x
         dy = by - rb_y
         lx = dx * cos_t + dy * sin_t  # along heading
         ly = -dx * sin_t + dy * cos_t  # lateral
-        return (lx >= contact_lo) & (lx <= contact_hi) & (jnp.abs(ly) <= half_kick_w)
+        low = (bz - field.ball_radius) <= cfg.kicker_height
+        return (
+            (lx >= contact_lo)
+            & (lx <= contact_hi)
+            & (jnp.abs(ly) <= half_kick_w)
+            & low
+        )
 
     def substep(world: WorldState, tgt, commands: SSLCommands) -> WorldState:
         rb = world.robots
@@ -121,12 +131,16 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
             x, y, v_x, v_y, field.rbt_radius, cfg.rest_robot_robot
         )
 
-        # --- ball: friction, dribbler pull, integrate, collide, kick
-        bvx, bvy = common.apply_ball_friction(
+        # --- ball: friction (grounded only), dribbler pull, integrate,
+        # collide, kick.  Vertical axis: gravity + floor bounce.
+        on_ground = common.ball_on_ground(ball.z, field.ball_radius)
+        fvx, fvy = common.apply_ball_friction(
             ball.v_x, ball.v_y, cfg.ball_friction_decel, dts
         )
+        bvx = jnp.where(on_ground, fvx, ball.v_x)
+        bvy = jnp.where(on_ground, fvy, ball.v_y)
 
-        contact = ball_contact(x, y, theta, ball.x, ball.y)
+        contact = ball_contact(x, y, theta, ball.x, ball.y, ball.z)
         held = contact & commands.dribbler
         # spring-damper toward each holding robot's face point (at most one
         # robot can satisfy the contact predicate for a single ball in
@@ -156,24 +170,33 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         bvx = bvx + pull_x * dts
         bvy = bvy + pull_y * dts
 
+        bz, bvz = common.step_ball_vertical(
+            ball.z, ball.v_z, field.ball_radius,
+            cfg.gravity, cfg.rest_ball_ground, cfg.ball_bounce_min_v, dts,
+        )
         bx = ball.x + bvx * dts
         by = ball.y + bvy * dts
+        below_top = (bz - field.ball_radius) < cfg.rbt_height
         bx, by, bvx, bvy = common.resolve_ball_robots(
             bx, by, bvx, bvy, x, y, v_x, v_y,
             field.rbt_radius, field.ball_radius, cfg.rest_ball_robot,
+            active=below_top,
         )
 
-        # kick: replace the heading-aligned velocity component
-        contact_after = ball_contact(x, y, theta, bx, by)
+        # kick: replace the heading-aligned velocity component; a positive
+        # kick_v_z launches the ball vertically (chip kick, rsim.py:147)
+        contact_after = ball_contact(x, y, theta, bx, by, bz)
         kicking = contact_after & (commands.kick_v_x > 0.0)
         kvx = jnp.sum(jnp.where(kicking, commands.kick_v_x * cos_n, 0.0))
         kvy = jnp.sum(jnp.where(kicking, commands.kick_v_x * sin_n, 0.0))
+        kvz = jnp.sum(jnp.where(kicking, commands.kick_v_z, 0.0))
         any_kick = jnp.any(kicking)
         bvx = jnp.where(any_kick, kvx, bvx)
         bvy = jnp.where(any_kick, kvy, bvy)
+        bvz = jnp.where(any_kick & (kvz > 0.0), kvz, bvz)
 
         return WorldState(
-            ball=BallState(x=bx, y=by, v_x=bvx, v_y=bvy),
+            ball=BallState(x=bx, y=by, z=bz, v_x=bvx, v_y=bvy, v_z=bvz),
             robots=RobotsState(
                 x=x, y=y, theta=theta, v_x=v_x, v_y=v_y, v_theta=w,
                 infrared=contact_after, v_wheel=rb.v_wheel,

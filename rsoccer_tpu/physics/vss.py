@@ -71,15 +71,26 @@ def make_vss_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
             x, y, v_x, v_y, field.half_length, field.half_width, field.rbt_radius
         )
 
-        # --- ball
-        bvx, bvy = common.apply_ball_friction(
+        # --- ball.  Rolling friction only while grounded; the vertical axis
+        # (reference Entities/Frame.py:21 carries ball z) is inert for a VSS
+        # ball resting at z = ball_radius but kept for state-contract parity.
+        on_ground = common.ball_on_ground(ball.z, field.ball_radius)
+        fvx, fvy = common.apply_ball_friction(
             ball.v_x, ball.v_y, cfg.ball_friction_decel, dts
+        )
+        bvx = jnp.where(on_ground, fvx, ball.v_x)
+        bvy = jnp.where(on_ground, fvy, ball.v_y)
+        bz, bvz = common.step_ball_vertical(
+            ball.z, ball.v_z, field.ball_radius,
+            cfg.gravity, cfg.rest_ball_ground, cfg.ball_bounce_min_v, dts,
         )
         bx = ball.x + bvx * dts
         by = ball.y + bvy * dts
+        below_top = (bz - field.ball_radius) < cfg.rbt_height
         bx, by, bvx, bvy = common.resolve_ball_robots(
             bx, by, bvx, bvy, x, y, v_x, v_y,
             field.rbt_radius, field.ball_radius, cfg.rest_ball_robot,
+            active=below_top,
         )
         bx, by, bvx, bvy = common.reflect_ball_walls_vss(
             bx, by, bvx, bvy,
@@ -89,7 +100,7 @@ def make_vss_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         )
 
         return WorldState(
-            ball=BallState(x=bx, y=by, v_x=bvx, v_y=bvy),
+            ball=BallState(x=bx, y=by, z=bz, v_x=bvx, v_y=bvy, v_z=bvz),
             robots=RobotsState(
                 x=x, y=y, theta=theta, v_x=v_x, v_y=v_y, v_theta=w,
                 infrared=rb.infrared, v_wheel=rb.v_wheel,

@@ -123,3 +123,41 @@ def test_vector_env():
 
     np.testing.assert_array_equal(obs.shape, o2.shape)
     venv.close(); v2.close()
+
+
+def test_vector_env_same_step_autoreset_convention():
+    """gymnasium SAME_STEP conformance: final_obs/final_info surfaced with
+    masks on the step an episode ends, and the returned obs is the reset
+    one (different state from the final obs)."""
+    import gymnasium as gym
+    import numpy as np
+
+    from rsoccer_tpu.gym_compat.vector import VectorGymnasiumEnv
+
+    venv = VectorGymnasiumEnv("VSS-v0", num_envs=4)
+    assert venv.metadata["autoreset_mode"] is gym.vector.AutoresetMode.SAME_STEP
+    # shrink the horizon so truncation fires fast (static attr on the
+    # functional env; read at trace time)
+    venv.env.max_episode_steps = 3
+    venv.reset(seed=0)
+    acts = np.zeros((4, 2), np.float32)
+    saw_final = False
+    for _ in range(5):
+        obs, rew, term, trunc, infos = venv.step(acts)
+        done = np.logical_or(term, trunc)
+        if done.any():
+            saw_final = True
+            assert "final_obs" in infos and "_final_obs" in infos
+            assert "final_info" in infos and "_final_info" in infos
+            np.testing.assert_array_equal(infos["_final_obs"], done)
+            for i in range(4):
+                if done[i]:
+                    assert infos["final_obs"][i] is not None
+                    assert infos["final_obs"][i].shape == (40,)
+                    assert isinstance(infos["final_info"][i], dict)
+                else:
+                    assert infos["final_obs"][i] is None
+        else:
+            assert "final_obs" not in infos
+    assert saw_final  # horizon 3 must truncate within 5 steps
+    venv.close()

@@ -21,9 +21,14 @@ DT = 0.025
 
 
 def random_world(rng, n=6):
+    # ball = {x, y, z, vx, vy, vz}; occasionally airborne with vertical
+    # velocity so the z-axis path is exercised too
+    airborne = rng.uniform() < 0.5
     ball = np.array(
         [rng.uniform(-0.6, 0.6), rng.uniform(-0.5, 0.5),
-         rng.uniform(-1, 1), rng.uniform(-1, 1)],
+         FIELD.ball_radius + (rng.uniform(0.0, 0.3) if airborne else 0.0),
+         rng.uniform(-1, 1), rng.uniform(-1, 1),
+         rng.uniform(-1, 2) if airborne else 0.0],
         np.float32,
     )
     robots = np.zeros((n, 6), np.float32)
@@ -40,7 +45,9 @@ def jax_world(ball, robots):
     return WorldState(
         ball=BallState(
             x=jnp.asarray(ball[0]), y=jnp.asarray(ball[1]),
-            v_x=jnp.asarray(ball[2]), v_y=jnp.asarray(ball[3]),
+            z=jnp.asarray(ball[2]),
+            v_x=jnp.asarray(ball[3]), v_y=jnp.asarray(ball[4]),
+            v_z=jnp.asarray(ball[5]),
         ),
         robots=RobotsState(
             x=jnp.asarray(robots[:, 0]), y=jnp.asarray(robots[:, 1]),
@@ -67,7 +74,9 @@ def test_oracle_matches_jax_step():
         vss_step_native(FIELD, VSS_PHYSICS, DT, b_c, r_c, cmds)
 
         np.testing.assert_allclose(
-            b_c, np.array([w2.ball.x, w2.ball.y, w2.ball.v_x, w2.ball.v_y]),
+            b_c,
+            np.array([w2.ball.x, w2.ball.y, w2.ball.z,
+                      w2.ball.v_x, w2.ball.v_y, w2.ball.v_z]),
             atol=2e-4, err_msg=f"trial {trial} ball",
         )
         got = np.stack(

@@ -24,10 +24,14 @@ def random_batched_world(rng):
     rb[2] = rng.uniform(-np.pi, np.pi, (N, B))
     rb[3:5] = rng.uniform(-0.5, 0.5, (2, N, B))
     rb[5] = rng.uniform(-5, 5, (N, B))
-    ball = np.zeros((4, B), np.float32)
+    ball = np.zeros((6, B), np.float32)
     ball[0] = rng.uniform(-0.6, 0.6, B)
     ball[1] = rng.uniform(-0.5, 0.5, B)
-    ball[2:4] = rng.uniform(-1, 1, (2, B))
+    # half the lanes airborne so the vertical path is exercised
+    airborne = rng.uniform(size=B) < 0.5
+    ball[2] = FIELD.ball_radius + np.where(airborne, rng.uniform(0, 0.3, B), 0.0)
+    ball[3:5] = rng.uniform(-1, 1, (2, B))
+    ball[5] = np.where(airborne, rng.uniform(-1, 2, B), 0.0)
     cmds = rng.uniform(-40, 40, (2, N, B)).astype(np.float32)
     return jnp.asarray(rb), jnp.asarray(ball), jnp.asarray(cmds)
 
@@ -38,7 +42,7 @@ def xla_reference(rb, ball, cmds):
 
     def single(rb_i, ball_i, cmd_i):
         world = WorldState(
-            ball=BallState(*[ball_i[k] for k in range(4)]),
+            ball=BallState(*[ball_i[k] for k in range(6)]),
             robots=RobotsState(
                 x=rb_i[0], y=rb_i[1], theta=rb_i[2],
                 v_x=rb_i[3], v_y=rb_i[4], v_theta=rb_i[5],
@@ -51,7 +55,9 @@ def xla_reference(rb, ball, cmds):
             [w.robots.x, w.robots.y, w.robots.theta,
              w.robots.v_x, w.robots.v_y, w.robots.v_theta]
         )
-        out_ball = jnp.stack([w.ball.x, w.ball.y, w.ball.v_x, w.ball.v_y])
+        out_ball = jnp.stack(
+            [w.ball.x, w.ball.y, w.ball.z, w.ball.v_x, w.ball.v_y, w.ball.v_z]
+        )
         return out_rb, out_ball
 
     return jax.vmap(single, in_axes=-1, out_axes=-1)(rb, ball, cmds)

@@ -33,9 +33,18 @@ def main():
     from rsoccer_tpu.batch import rollout as R
     from rsoccer_tpu.batch.vecenv import BatchedEnv
 
-    use_pallas = os.environ.get("RSOCCER_BENCH_PALLAS", "0") == "1"
+    # RSOCCER_BENCH_PALLAS: 0 = plain XLA path, 1 = pallas physics kernel,
+    # full = full-step pallas kernel (state resident in kernel layout),
+    # full-krng = full-step kernel with in-kernel hardware RNG (TPU only)
+    pallas_mode = os.environ.get("RSOCCER_BENCH_PALLAS", "0")
     env = rsoccer_tpu.make(env_id)
-    benv = BatchedEnv(env, n_envs, pallas_physics=use_pallas)
+    benv = BatchedEnv(
+        env,
+        n_envs,
+        pallas_physics=pallas_mode == "1",
+        pallas_full=pallas_mode.startswith("full"),
+        pallas_rng="kernel" if pallas_mode == "full-krng" else "input",
+    )
     # modest scan length + repeated calls: same measured steady-state
     # throughput as one long scan, but a far smaller program to compile
     # (matters on remote-compile TPU setups)

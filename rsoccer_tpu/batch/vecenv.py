@@ -36,9 +36,17 @@ from rsoccer_tpu.envs.base import Env, draw_noise, strongify
 class BatchedEnv:
     """vmap wrapper around a single-env :class:`Env`.
 
-    ``pallas_physics=True`` (VSS only, experimental) routes the physics
-    through the fused Pallas kernel (ops/pallas_vss.py): task logic stays
-    vmapped, the dynamics run as one kernel launch per batch tile.
+    ``pallas_physics=True`` (VSS only) routes the physics through the fused
+    Pallas kernel (ops/pallas_vss.py): task logic stays vmapped, the
+    dynamics run as one kernel launch per batch tile.
+
+    ``pallas_full=True`` (VSS only) goes further: the ENTIRE step — OU
+    noise, command conversion, physics, reward/termination, spawn reset and
+    observation build — runs as ONE kernel launch per batch tile
+    (ops/pallas_vss_full.py), and the env state flows through the rollout
+    in kernel layout (a single ``(S, B)`` tensor), so there is no per-step
+    pack/unpack at all.  The state returned by :meth:`reset`/:meth:`step`
+    is that packed tensor; use :meth:`unpack_state` for a structured view.
     """
 
     def __init__(
@@ -46,7 +54,9 @@ class BatchedEnv:
         env: Env,
         n_envs: int,
         pallas_physics: bool = False,
-        pallas_tile: int = 1024,
+        pallas_full: bool = False,
+        pallas_tile: int = 2048,
+        pallas_rng: str = "input",
     ):
         self.env = env
         self.n_envs = n_envs
@@ -54,6 +64,8 @@ class BatchedEnv:
         self.action_size = env.action_size
         self._t_spec = env.transition_noise_spec()
         self._r_spec = env.reset_noise_spec()
+        if pallas_full and pallas_physics:
+            raise ValueError("pallas_full subsumes pallas_physics; pick one")
 
         self._reset_v = jax.vmap(
             lambda noise: _reset_obs(env, noise), in_axes=-1, out_axes=-1
@@ -66,6 +78,7 @@ class BatchedEnv:
             lambda s, a, n: _step_env(env, s, a, n), in_axes=-1, out_axes=-1
         )
         self._pallas = None
+        self._full = None
         if pallas_physics:
             self._pallas = _build_pallas_vss(env, n_envs, pallas_tile)
             self._pre_v = jax.vmap(env.pre_physics, in_axes=-1, out_axes=-1)
@@ -75,20 +88,79 @@ class BatchedEnv:
                 in_axes=-1, out_axes=-1,
             )
             self._observe_v = jax.vmap(env.observe, in_axes=-1, out_axes=-1)
+        if pallas_full:
+            from rsoccer_tpu.ops.pallas_vss_full import (
+                make_pallas_vss_full_step,
+                pack_vss_state,
+            )
+
+            if env.league != "vss":
+                raise NotImplementedError("pallas_full currently supports VSS only")
+            self._full = make_pallas_vss_full_step(
+                env, n_envs, tile=min(pallas_tile, n_envs), rng=pallas_rng
+            )
+            self._full_rng = pallas_rng
+            self._pack = pack_vss_state
+            from rsoccer_tpu.envs.vss import _SHAPING_KEYS
+
+            self._info_keys = _SHAPING_KEYS
+
+    def unpack_state(self, state):
+        """Structured VSSState view of a ``pallas_full`` packed state."""
+        from rsoccer_tpu.ops.pallas_vss_full import unpack_vss_state
+
+        return unpack_vss_state(
+            state, self.env.n_robots, self.env.field.rbt_wheel_radius
+        )
 
     def reset(self, key):
         """One key for the whole batch."""
         noise = draw_noise(key, self._r_spec, batch=self.n_envs)
-        return self._reset_v(noise)
+        state, obs = self._reset_v(noise)
+        if self._full is not None:
+            return self._pack(state), obs
+        return state, obs
 
     def step(self, state, actions, key):
         """Auto-resetting step. actions (A, B), one key."""
+        if self._full is not None:
+            return self._full_step(state, actions, key)
         kt, kr = jax.random.split(key)
         t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
         r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
         if self._pallas is not None:
             return self._pallas_step(state, actions, t_noise, r_noise)
         return self._step_v(state, actions, t_noise, r_noise)
+
+    def _full_step(self, state, actions, key):
+        """One fused kernel launch: state stays in kernel layout."""
+        import jax.numpy as jnp
+
+        if self._full_rng == "kernel":
+            # the kernel draws all noise itself; derive its per-step seed
+            # from the key so fixed-key rollouts stay reproducible
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+            )
+            st, obs, aux = self._full(state, actions, seed)
+        else:
+            kt, kr = jax.random.split(key)
+            t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
+            r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
+            b = self.n_envs
+            n = self.env.n_robots
+            ou = t_noise["ou"]  # (N, 2, B) -> wheel-major (2N, B)
+            ou_rows = jnp.concatenate([ou[:, 0, :], ou[:, 1, :]], axis=0)
+            spawn_rows = r_noise["spawn"].reshape(-1, b)
+            theta_rows = r_noise["theta"].reshape(n, b)
+            st, obs, aux = self._full(
+                state, actions, ou_rows, spawn_rows, theta_rows
+            )
+        reward = aux[0]
+        term = aux[1] > 0.5
+        trunc = aux[2] > 0.5
+        info = {k: aux[3 + i] for i, k in enumerate(self._info_keys)}
+        return st, obs, reward, term, trunc, info
 
     def _pallas_step(self, state, actions, t_noise, r_noise):
         """pre (vmapped) -> fused Pallas physics (batched) -> post (vmapped)

@@ -26,6 +26,10 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--env-id", default="VSS-v0")
     p.add_argument("--out", default="/tmp/rsoccer_trace")
+    p.add_argument(
+        "--pallas", default="0", choices=["0", "1", "full"],
+        help="0: XLA path, 1: pallas physics kernel, full: full-step kernel",
+    )
     args = p.parse_args()
 
     import rsoccer_tpu
@@ -33,7 +37,11 @@ def main():
     from rsoccer_tpu.batch.vecenv import BatchedEnv
 
     env = rsoccer_tpu.make(args.env_id)
-    benv = BatchedEnv(env, args.envs)
+    benv = BatchedEnv(
+        env, args.envs,
+        pallas_physics=args.pallas == "1",
+        pallas_full=args.pallas == "full",
+    )
     roll = jax.jit(R.make_rollout_fn(benv, args.steps, unroll=1))
     carry = R.init_carry(benv, jax.random.PRNGKey(0))
     # two warmups: the first call's outputs can differ in weak-typing from

@@ -36,11 +36,11 @@ class PhysicsConfig:
     # vertical axis (chip kicks / bounces).  The reference state carries
     # ball z (Entities/Frame.py:21) and SSL commands carry kick_v_z
     # (Simulators/rsim.py:147); rSim inherits grSim's ODE ball contact
-    # parameters — BallBounce 0.5 and BallBounceVel 0.1 are the grSim
-    # lineage defaults (see docs/fidelity.md).
-    gravity: float = 9.81  # m/s^2
-    rest_ball_ground: float = 0.5  # bounce restitution off the floor
-    ball_bounce_min_v: float = 0.1  # m/s — bounces slower than this settle
+    # parameters — gravity 9.8, BallBounce 0.5 and BallBounceVel 0.1 are
+    # the grSim-lineage defaults (provenance table: docs/fidelity.md).
+    gravity: float = 9.8  # m/s^2 — ODE world gravity in grSim/rSim
+    rest_ball_ground: float = 0.5  # grSim BallBounce
+    ball_bounce_min_v: float = 0.1  # grSim BallBounceVel — slower bounces settle
     rbt_height: float = 0.15  # m — ball passes over robots above this
 
     # restitution

@@ -42,11 +42,16 @@ def main():
         params = trainer.init(jax.random.PRNGKey(0)).params
 
     policy = trainer.make_policy(params, deterministic=True)
-    roll = jax.jit(R.make_rollout_fn(benv, args.steps, policy=policy))
-    carry, ms = roll(R.init_carry(benv, jax.random.PRNGKey(1)))
+    from rsoccer_tpu.eval import make_eval_fn, success_criterion
+
+    ev = jax.jit(
+        make_eval_fn(benv, args.steps, policy, success_criterion(args.env_id))
+    )
+    ms = ev(jax.random.PRNGKey(1))
     print(
         f"{args.envs} envs x {args.steps} steps: "
         f"episodes={int(ms.episodes)} "
+        f"success_rate={float(ms.success_rate):.3f} "
         f"mean_return={float(ms.mean_episode_return):.3f} "
         f"mean_length={float(ms.mean_episode_length):.1f}"
     )

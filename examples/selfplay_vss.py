@@ -1,0 +1,99 @@
+"""Frozen-past self-play on VSSSelfPlay-v0 (3v3, both teams policy-driven).
+
+The learner drives the blue team; the yellow team is driven by a frozen
+snapshot of the learner from SWAP_EVERY updates ago, playing through the
+mirrored view (one network plays both sides — see envs/vss_selfplay.py).
+At every swap the current policy is evaluated against the frozen opponent
+and the blue-vs-frozen-past goal rate is printed: the curve that shows the
+learner beating its own past.
+
+    python examples/selfplay_vss.py --envs 2048 --updates 120 --swap-every 20
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import rsoccer_tpu
+from rsoccer_tpu import eval as E
+from rsoccer_tpu.models.networks import ActorCritic
+from rsoccer_tpu.models.ppo import PPOConfig, PPOTrainer
+from rsoccer_tpu.models.selfplay import SelfPlayBatchedEnv
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", type=int, default=2048)
+    p.add_argument("--updates", type=int, default=120)
+    p.add_argument("--swap-every", type=int, default=20)
+    p.add_argument("--rollout-steps", type=int, default=128)
+    p.add_argument("--eval-steps", type=int, default=1200)
+    p.add_argument("--eval-envs", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", default="")
+    args = p.parse_args()
+
+    env = rsoccer_tpu.make("VSSSelfPlay-v0")
+    net = ActorCritic(action_size=env.action_size // 2)
+    init_params = net.init(
+        jax.random.PRNGKey(args.seed), jnp.zeros((1, env.obs_size))
+    )
+    sp_env = SelfPlayBatchedEnv(env, args.envs, net, init_params)
+    trainer = PPOTrainer(sp_env, PPOConfig(rollout_steps=args.rollout_steps))
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+    train = jax.jit(trainer.train_step, donate_argnums=0)
+
+    eval_env = SelfPlayBatchedEnv(env, args.eval_envs, net, init_params)
+    success = E.success_criterion("VSSSelfPlay-v0")
+
+    def run_eval(params, obs_norm, payload, seed):
+        """Deterministic learner vs the given frozen opponent payload."""
+        policy = trainer.make_policy(params, obs_norm=obs_norm)
+        swap = lambda c: c._replace(state=(c.state[0], payload))
+        ev = jax.jit(
+            E.make_eval_fn(
+                eval_env, args.eval_steps, policy, success, carry_init=swap
+            )
+        )
+        return ev(jax.random.PRNGKey(10_000 + seed))
+
+    history = []
+    opp_payload = eval_env.payload_from(init_params)
+    t0 = time.time()
+    for u in range(1, args.updates + 1):
+        state, metrics = train(state, jax.random.PRNGKey(1000 + u))
+        if u % args.swap_every == 0:
+            ms = run_eval(state.params, state.obs_norm, opp_payload, seed=u)
+            wr = float(ms.success_rate)  # goal rate vs the frozen opponent
+            print(
+                f"update {u:4d}  reward/step={float(metrics['mean_reward']):+.4f}  "
+                f"episodes={int(ms.episodes)}  goalrate_vs_frozen={wr:.3f}  "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+            history.append({
+                "update": u, "goalrate_vs_frozen": wr,
+                "mean_reward": float(metrics["mean_reward"]),
+            })
+            # the current learner becomes the next frozen opponent — pure
+            # data swap inside the env state, no retrace
+            opp_payload = eval_env.payload_from(state.params, state.obs_norm)
+            state = SelfPlayBatchedEnv.swap_opponent(state, opp_payload)
+
+    print(json.dumps(history))
+    if args.save:
+        from rsoccer_tpu.utils import checkpoint
+
+        checkpoint.save(args.save, state.params)
+        print(f"saved params to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

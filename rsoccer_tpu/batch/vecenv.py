@@ -89,29 +89,75 @@ class BatchedEnv:
             )
             self._observe_v = jax.vmap(env.observe, in_axes=-1, out_axes=-1)
         if pallas_full:
+            self._full_rng = pallas_rng
+            self._init_full(env, n_envs, min(pallas_tile, n_envs), pallas_rng)
+
+    def _init_full(self, env, n_envs, tile, rng):
+        """Dispatch the full-step kernel builder by exact env type (task
+        logic is baked into each kernel; subclasses with overridden
+        behavior must not silently inherit the base kernel)."""
+        import jax.numpy as jnp
+
+        from rsoccer_tpu.envs.ssl_static_defenders import SSLStaticDefendersEnv
+        from rsoccer_tpu.envs.vss import VSSEnv
+
+        n = env.n_robots
+        b = n_envs
+        if type(env) is VSSEnv:
+            from rsoccer_tpu.envs.vss import _SHAPING_KEYS
             from rsoccer_tpu.ops.pallas_vss_full import (
                 make_pallas_vss_full_step,
                 pack_vss_state,
+                unpack_vss_state,
             )
 
-            if env.league != "vss":
-                raise NotImplementedError("pallas_full currently supports VSS only")
-            self._full = make_pallas_vss_full_step(
-                env, n_envs, tile=min(pallas_tile, n_envs), rng=pallas_rng
-            )
-            self._full_rng = pallas_rng
+            self._full = make_pallas_vss_full_step(env, b, tile=tile, rng=rng)
             self._pack = pack_vss_state
-            from rsoccer_tpu.envs.vss import _SHAPING_KEYS
-
+            self._unpack = lambda s: unpack_vss_state(
+                s, n, env.field.rbt_wheel_radius
+            )
             self._info_keys = _SHAPING_KEYS
 
-    def unpack_state(self, state):
-        """Structured VSSState view of a ``pallas_full`` packed state."""
-        from rsoccer_tpu.ops.pallas_vss_full import unpack_vss_state
+            def pack_noise(t_noise, r_noise):
+                ou = t_noise["ou"]  # (N, 2, B) -> wheel-major (2N, B)
+                return (
+                    jnp.concatenate([ou[:, 0, :], ou[:, 1, :]], axis=0),
+                    r_noise["spawn"].reshape(-1, b),
+                    r_noise["theta"].reshape(n, b),
+                )
 
-        return unpack_vss_state(
-            state, self.env.n_robots, self.env.field.rbt_wheel_radius
-        )
+            self._pack_noise = pack_noise
+        elif type(env) is SSLStaticDefendersEnv:
+            from rsoccer_tpu.envs.ssl_static_defenders import (
+                _SHAPING_KEYS as SD_KEYS,
+            )
+            from rsoccer_tpu.ops.pallas_ssl_full import (
+                make_pallas_sd_full_step,
+                pack_sd_state,
+                unpack_sd_state,
+            )
+
+            self._full = make_pallas_sd_full_step(env, b, tile=tile, rng=rng)
+            self._pack = pack_sd_state
+            self._unpack = lambda s: unpack_sd_state(s, env)
+            self._info_keys = SD_KEYS
+
+            def pack_noise(t_noise, r_noise):
+                return (
+                    r_noise["ball"].reshape(-1, b),
+                    r_noise["spawn"].reshape(-1, b),
+                    r_noise["theta"].reshape(-1, b),
+                )
+
+            self._pack_noise = pack_noise
+        else:
+            raise NotImplementedError(
+                f"pallas_full not implemented for {type(env).__name__}"
+            )
+
+    def unpack_state(self, state):
+        """Structured state view of a ``pallas_full`` packed state."""
+        return self._unpack(state)
 
     def reset(self, key):
         """One key for the whole batch."""
@@ -147,14 +193,8 @@ class BatchedEnv:
             kt, kr = jax.random.split(key)
             t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
             r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
-            b = self.n_envs
-            n = self.env.n_robots
-            ou = t_noise["ou"]  # (N, 2, B) -> wheel-major (2N, B)
-            ou_rows = jnp.concatenate([ou[:, 0, :], ou[:, 1, :]], axis=0)
-            spawn_rows = r_noise["spawn"].reshape(-1, b)
-            theta_rows = r_noise["theta"].reshape(n, b)
             st, obs, aux = self._full(
-                state, actions, ou_rows, spawn_rows, theta_rows
+                state, actions, *self._pack_noise(t_noise, r_noise)
             )
         reward = aux[0]
         term = aux[1] > 0.5

@@ -53,6 +53,7 @@ class SSLTaskBase(Env):
         self.n_robots = n_blue + n_yellow
         self.time_step = time_step
         self.max_pos = self.field.max_pos
+        self.physics_cfg = SSL_PHYSICS
         self._physics = make_ssl_step(self.field, SSL_PHYSICS, time_step)
 
     # --- normalisation (reference ssl_gym_base.py:213-220 with task caps)

@@ -1,0 +1,634 @@
+"""Full-step Pallas kernels for the SSL tasks.
+
+Same architecture as ops/pallas_vss_full.py (see its docstring for the
+layout story: batch viewed as ``(8, B/8)`` so every per-env row is a full
+vreg tile; state resident in kernel layout across the rollout): one kernel
+launch per batch tile computes command conversion, the 4-omni physics with
+kicker/dribbler/infrared (physics/ssl.py semantics), the task's
+reward/termination cascade, spawn placement for reset lanes, auto-reset
+select, and the observation build.
+
+SSLStaticDefenders-v0 is implemented first — it was the slowest env on the
+XLA path (56.6M steps/s vs 90-116M for the other SSL tasks; STATUS.md) and
+its per-step reset-spawn tail is exactly what in-VMEM fusion removes.
+
+Task semantics mirrored from envs/ssl_static_defenders.py (reference
+ssl/ssl_hw_challenge/static_defenders.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from rsoccer_tpu.core.state import BallState, RobotsState, WorldState
+from rsoccer_tpu.envs import spawn as spawn_mod
+from rsoccer_tpu.physics.ssl import wheel_jacobian
+
+_EPS = 1e-8
+
+
+def _wrap_angle(t):
+    return jnp.mod(t + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def _first_valid(cx, cy, placed, min_d2):
+    """First candidate (axis 0) at least sqrt(min_d2) from every placed
+    point; falls back to candidate 0 (envs/spawn.pick_first semantics)."""
+    ok = None
+    for qx, qy in placed:
+        ddx = cx - qx[None]
+        ddy = cy - qy[None]
+        good = (ddx * ddx + ddy * ddy) >= min_d2
+        ok = good if ok is None else (ok & good)
+    if ok is None:
+        return cx[0], cy[0]
+    seen = jnp.zeros_like(ok[0])
+    any_ok = jnp.zeros_like(ok[0])
+    sel_x = jnp.zeros_like(cx[0])
+    sel_y = jnp.zeros_like(cy[0])
+    for k in range(cx.shape[0]):
+        first_k = ok[k] & ~seen
+        seen = seen | ok[k]
+        any_ok = any_ok | ok[k]
+        sel_x = jnp.where(first_k, cx[k], sel_x)
+        sel_y = jnp.where(first_k, cy[k], sel_y)
+    return jnp.where(any_ok, sel_x, cx[0]), jnp.where(any_ok, sel_y, cy[0])
+
+
+def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
+    """In-kernel SSL world step (physics/ssl.py substep semantics).
+
+    Returns ``physics(x, y, theta, vx, vy, w, ball6, tgt3, kick_vx,
+    kick_vz, dribbler) -> (x, y, theta, vx, vy, w, ball6, infrared)``
+    where robot arrays are (N, ...), ball6 is the 6-tuple of ball rows,
+    tgt3 = (tu, tv, tw) local-frame velocity targets per robot.
+    """
+    dts = dt / n_substeps
+    a_lin = cfg.robot_accel * dts
+    a_ang = cfg.robot_alpha * dts
+    r_rbt, r_ball = field.rbt_radius, field.ball_radius
+    face_dist = field.rbt_distance_center_kicker
+    half_kick_w = field.rbt_kicker_width / 2
+    contact_lo = face_dist - field.rbt_kicker_thickness - r_ball
+    contact_hi = face_dist + r_ball + cfg.kicker_depth_slack
+
+    def ball_contact(x, y, cos_t, sin_t, bx, by, bz):
+        dx = bx[None] - x
+        dy = by[None] - y
+        lx = dx * cos_t + dy * sin_t
+        ly = -dx * sin_t + dy * cos_t
+        low = (bz - r_ball) <= cfg.kicker_height
+        return (
+            (lx >= contact_lo)
+            & (lx <= contact_hi)
+            & (jnp.abs(ly) <= half_kick_w)
+            & low[None]
+        )
+
+    def physics(x, y, theta, vx, vy, w, ball6, tgt3, kick_vx, kick_vz, dribbler):
+        bx, by, bz, bvx, bvy, bvz = ball6
+        tu, tv, tw = tgt3
+        contact_after = None
+        for _ in range(n_substeps):
+            cos_t = jnp.cos(theta)
+            sin_t = jnp.sin(theta)
+            u = vx * cos_t + vy * sin_t
+            s = -vx * sin_t + vy * cos_t
+            u = u + jnp.clip(tu - u, -a_lin, a_lin)
+            s = s + jnp.clip(tv - s, -a_lin, a_lin)
+            w = w + jnp.clip(tw - w, -a_ang, a_ang)
+            theta = _wrap_angle(theta + w * dts)
+            cos_n = jnp.cos(theta)
+            sin_n = jnp.sin(theta)
+            vx = u * cos_n - s * sin_n
+            vy = u * sin_n + s * cos_n
+            x = x + vx * dts
+            y = y + vy * dts
+
+            # robot-robot collisions (no SSL walls)
+            dx = x[:, None] - x[None, :]
+            dy = y[:, None] - y[None, :]
+            d2 = dx * dx + dy * dy
+            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            eye = rows == cols
+            d = jnp.sqrt(jnp.where(eye, 1.0, jnp.maximum(d2, _EPS * _EPS)))
+            overlap = jnp.where(eye, 0.0, 2.0 * r_rbt - d)
+            colliding = overlap > 0.0
+            nx = dx / jnp.maximum(d, _EPS)
+            ny = dy / jnp.maximum(d, _EPS)
+            push = jnp.where(colliding, 0.5 * overlap, 0.0)
+            x = x + jnp.sum(push * nx, axis=1)
+            y = y + jnp.sum(push * ny, axis=1)
+            rvx = vx[:, None] - vx[None, :]
+            rvy = vy[:, None] - vy[None, :]
+            vn = rvx * nx + rvy * ny
+            imp = jnp.where(
+                colliding & (vn < 0.0),
+                -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
+                0.0,
+            )
+            vx = vx + jnp.sum(imp * nx, axis=1)
+            vy = vy + jnp.sum(imp * ny, axis=1)
+
+            # ball: friction (grounded), dribbler pull, vertical, integrate
+            on_ground = bz <= r_ball + 1e-4
+            speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
+            scale = jnp.maximum(
+                0.0, 1.0 - cfg.ball_friction_decel * dts / speed
+            )
+            fvx = bvx * scale
+            fvy = bvy * scale
+            bvx = jnp.where(on_ground, fvx, bvx)
+            bvy = jnp.where(on_ground, fvy, bvy)
+
+            contact = ball_contact(x, y, cos_n, sin_n, bx, by, bz)
+            held = contact & dribbler
+            face_x = x + face_dist * cos_n
+            face_y = y + face_dist * sin_n
+            rel_vx = bvx[None] - vx
+            rel_vy = bvy[None] - vy
+            rel_speed = jnp.sqrt(rel_vx * rel_vx + rel_vy * rel_vy)
+            can_hold = held & (rel_speed < cfg.dribbler_capture_speed)
+            pull_x = jnp.sum(
+                jnp.where(
+                    can_hold,
+                    cfg.dribbler_pull_accel * (face_x - bx[None])
+                    - cfg.dribbler_damping * rel_vx,
+                    0.0,
+                ),
+                axis=0,
+            )
+            pull_y = jnp.sum(
+                jnp.where(
+                    can_hold,
+                    cfg.dribbler_pull_accel * (face_y - by[None])
+                    - cfg.dribbler_damping * rel_vy,
+                    0.0,
+                ),
+                axis=0,
+            )
+            bvx = bvx + pull_x * dts
+            bvy = bvy + pull_y * dts
+
+            bvz = bvz - cfg.gravity * dts
+            bz = bz + bvz * dts
+            hit_floor = bz < r_ball
+            bvz = jnp.where(
+                hit_floor & (bvz < 0.0), -cfg.rest_ball_ground * bvz, bvz
+            )
+            bvz = jnp.where(hit_floor & (bvz < cfg.ball_bounce_min_v), 0.0, bvz)
+            bz = jnp.where(hit_floor, r_ball, bz)
+            bx = bx + bvx * dts
+            by = by + bvy * dts
+
+            below_top = (bz - r_ball) < cfg.rbt_height
+            bdx = bx[None] - x
+            bdy = by[None] - y
+            bd = jnp.sqrt(jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS))
+            boverlap = (r_rbt + r_ball) - bd
+            bcol = (boverlap > 0.0) & below_top[None]
+            bnx = bdx / jnp.maximum(bd, _EPS)
+            bny = bdy / jnp.maximum(bd, _EPS)
+            bx = bx + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bnx, axis=0)
+            by = by + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bny, axis=0)
+            relvx = bvx[None] - vx
+            relvy = bvy[None] - vy
+            bvn = relvx * bnx + relvy * bny
+            bj = jnp.where(
+                bcol & (bvn < 0.0), -(1.0 + cfg.rest_ball_robot) * bvn, 0.0
+            )
+            bvx = bvx + jnp.sum(bj * bnx, axis=0)
+            bvy = bvy + jnp.sum(bj * bny, axis=0)
+
+            contact_after = ball_contact(x, y, cos_n, sin_n, bx, by, bz)
+            kicking = contact_after & (kick_vx > 0.0)
+            kvx = jnp.sum(jnp.where(kicking, kick_vx * cos_n, 0.0), axis=0)
+            kvy = jnp.sum(jnp.where(kicking, kick_vx * sin_n, 0.0), axis=0)
+            kvz = jnp.sum(jnp.where(kicking, kick_vz, 0.0), axis=0)
+            any_kick = jnp.sum(kicking.astype(jnp.float32), axis=0) > 0.0
+            bvx = jnp.where(any_kick, kvx, bvx)
+            bvy = jnp.where(any_kick, kvy, bvy)
+            bvz = jnp.where(any_kick & (kvz > 0.0), kvz, bvz)
+
+        return x, y, theta, vx, vy, w, (bx, by, bz, bvx, bvy, bvz), contact_after
+
+    return physics
+
+
+# ---------------------------------------------------------------------------
+# SSLStaticDefenders-v0
+# ---------------------------------------------------------------------------
+
+def sd_state_size(n_robots: int) -> int:
+    # ball 6 + robots 6N + steps 1 + shaping 8
+    return 15 + 6 * n_robots
+
+
+def pack_sd_state(state) -> jnp.ndarray:
+    """Batched SDState (lane layout) -> (S, B)."""
+    w = state.world
+    rows = [
+        w.ball.x[None], w.ball.y[None], w.ball.z[None],
+        w.ball.v_x[None], w.ball.v_y[None], w.ball.v_z[None],
+        w.robots.x, w.robots.y, w.robots.theta,
+        w.robots.v_x, w.robots.v_y, w.robots.v_theta,
+        state.steps[None].astype(jnp.float32),
+        state.shaping,
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_sd_state(arr: jnp.ndarray, env):
+    """(S, B) -> batched SDState.  infrared recomputed for robot 0 (the
+    only consumer is the observation, which the kernel already built);
+    achieved wheel speeds via the forward jacobian, as physics/ssl.py."""
+    from rsoccer_tpu.envs.ssl_static_defenders import SDState
+
+    n = env.n_robots
+    o = 6
+    x = arr[o : o + n]; o += n
+    y = arr[o : o + n]; o += n
+    theta = arr[o : o + n]; o += n
+    vx = arr[o : o + n]; o += n
+    vy = arr[o : o + n]; o += n
+    vth = arr[o : o + n]; o += n
+    steps = arr[o].astype(jnp.int32); o += 1
+    shaping = arr[o : o + 8]
+
+    J = wheel_jacobian(env.field)  # (4,3)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    u = vx * cos_t + vy * sin_t
+    s = -vx * sin_t + vy * cos_t
+    local = jnp.stack([u, s, vth], axis=1)  # (N, 3, B)
+    v_wheel = jnp.einsum("wk,nkb->nwb", jnp.asarray(J), local) / env.field.rbt_wheel_radius
+
+    # infrared from the kicker-contact predicate (same as physics/ssl.py)
+    f = env.field
+    dx = arr[0][None] - x
+    dy = arr[1][None] - y
+    lx = dx * cos_t + dy * sin_t
+    ly = -dx * sin_t + dy * cos_t
+    lo = f.rbt_distance_center_kicker - f.rbt_kicker_thickness - f.ball_radius
+    from rsoccer_tpu.physics.config import SSL_PHYSICS
+
+    hi = f.rbt_distance_center_kicker + f.ball_radius + SSL_PHYSICS.kicker_depth_slack
+    low = (arr[2][None] - f.ball_radius) <= SSL_PHYSICS.kicker_height
+    infrared = (
+        (lx >= lo) & (lx <= hi) & (jnp.abs(ly) <= f.rbt_kicker_width / 2) & low
+    )
+
+    world = WorldState(
+        ball=BallState(
+            x=arr[0], y=arr[1], z=arr[2], v_x=arr[3], v_y=arr[4], v_z=arr[5]
+        ),
+        robots=RobotsState(
+            x=x, y=y, theta=theta, v_x=vx, v_y=vy, v_theta=vth,
+            infrared=infrared, v_wheel=v_wheel,
+        ),
+    )
+    return SDState(world=world, steps=steps, shaping=shaping)
+
+
+def make_pallas_sd_full_step(
+    env,
+    batch: int,
+    tile: int = 2048,
+    interpret: bool = False,
+    rng: str = "input",
+):
+    """Full-step kernel for SSLStaticDefenders-v0.
+
+    ``rng="input"``: ``step(state (S,B), action (5,B), ball_u (2K,B),
+    spawn_u (N_y*2K,B), theta_u (N_y,B)) -> (state, obs (24,B), aux (11,B))``
+    with aux rows [reward, term, trunc, shaping0..7].
+    ``rng="kernel"``: ``step(state, action, seed (1,) int32) -> ...`` with
+    all noise from the in-kernel hardware PRNG (TPU only).
+    """
+    if batch % tile or tile % 8:
+        raise ValueError(f"bad batch/tile: {batch}/{tile}")
+    if rng not in ("input", "kernel"):
+        raise ValueError(f"rng must be 'input' or 'kernel', got {rng!r}")
+
+    field = env.field
+    cfg = env.physics_cfg
+    n = env.n_robots  # 7
+    n_y = env.n_yellow  # 6
+    K = spawn_mod.N_CANDIDATES
+    S = sd_state_size(n)
+    obs_size = env.obs_size  # 24
+    max_steps = float(env.max_episode_steps)
+
+    max_v = env.max_v
+    max_w_cmd = env.max_w_cmd
+    max_w_norm = env.max_w_norm
+    max_pos = env.max_pos
+    nbnd = env.norm_bounds
+    kick_speed = env.kick_speed_x
+    ball_dist_scale = env.ball_dist_scale
+    ball_grad_scale = env.ball_grad_scale
+    energy_scale = env.energy_scale
+
+    half_len, half_wid = field.half_length, field.half_width
+    pen_len, half_pen_wid = field.penalty_length, field.penalty_width / 2
+    half_goal_wid = field.goal_width / 2
+    wheel_r = field.rbt_wheel_radius
+    J = wheel_jacobian(field)  # (4,3) numpy constants
+
+    physics = make_ssl_physics_body(field, cfg, env.time_step, cfg.n_substeps)
+
+    def compute(st, act, ball_u, sp_u, th_u, st_out, obs_out, aux_out):
+        bx0, by0, bz0, bvx0, bvy0, bvz0 = (st[i] for i in range(6))
+        o = 6
+        x = st[o : o + n]; o += n
+        y = st[o : o + n]; o += n
+        theta = st[o : o + n]; o += n
+        vx = st[o : o + n]; o += n
+        vy = st[o : o + n]; o += n
+        w = st[o : o + n]; o += n
+        steps = st[o]; o += 1
+        shaping = st[o : o + 8]
+
+        # --- convert_actions (ssl_common.convert_actions; robot 0 only)
+        a_vx = act[0] * max_v
+        a_vy = act[1] * max_v
+        a_vt = act[2] * max_w_cmd
+        c0 = jnp.cos(theta[0])
+        s0 = jnp.sin(theta[0])
+        lvx = a_vx * c0 + a_vy * s0
+        lvy = -a_vx * s0 + a_vy * c0
+        v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
+        sc = jnp.where(v_norm < max_v, 1.0, max_v / jnp.maximum(v_norm, _EPS))
+        lvx = lvx * sc
+        lvy = lvy * sc
+
+        zero_n1 = jnp.zeros_like(x[1:])
+        tu = jnp.concatenate([lvx[None], zero_n1], axis=0)
+        tv = jnp.concatenate([lvy[None], zero_n1], axis=0)
+        tw = jnp.concatenate([a_vt[None], zero_n1], axis=0)
+        kick0 = jnp.where(act[3] > 0.0, kick_speed, 0.0)
+        kick_vx = jnp.concatenate([kick0[None], zero_n1], axis=0)
+        kick_vz = jnp.zeros_like(kick_vx)
+        dribbler = jnp.concatenate(
+            [(act[4] > 0.0)[None], zero_n1 > 1.0], axis=0
+        )
+
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+            x, y, theta, vx, vy, w,
+            (bx0, by0, bz0, bvx0, bvy0, bvz0),
+            (tu, tv, tw), kick_vx, kick_vz, dribbler,
+        )
+        bx, by, bz, bvx, bvy, bvz = ball2
+
+        # --- termination priority chain + reward (envs/ssl_static_defenders)
+        rx, ry = x2[0], y2[0]
+        c_rbt_out = (rx < -0.2) | (jnp.abs(ry) > half_wid)
+        c_gk = (
+            ~c_rbt_out & (rx > half_len - pen_len) & (jnp.abs(ry) < half_pen_wid)
+        )
+        c_ball_out = ~c_rbt_out & ~c_gk & ((bx < 0) | (jnp.abs(by) > half_wid))
+        c_ball_right = ~c_rbt_out & ~c_gk & ~c_ball_out & (bx > half_len)
+        goal = c_ball_right & (jnp.abs(by) < half_goal_wid)
+        ball_out_right = c_ball_right & ~goal
+        term = c_rbt_out | c_gk | c_ball_out | c_ball_right
+        sb = ~term
+
+        # shaping terms (ssl_common helpers)
+        last_d = jnp.sqrt((x[0] - bx0) ** 2 + (y[0] - by0) ** 2)
+        d = jnp.sqrt((rx - bx) ** 2 + (ry - by) ** 2)
+        ball_dist = jnp.clip(last_d - d, -1.0, 1.0) / ball_dist_scale
+        last_g = jnp.sqrt((bx0 - half_len) ** 2 + by0 * by0)
+        g = jnp.sqrt((bx - half_len) ** 2 + by * by)
+        ball_grad = jnp.clip(last_g - g, -1.0, 1.0) / ball_grad_scale
+        # energy: sum |achieved wheel speed| of robot 0 (post-step frame)
+        cos_p = jnp.cos(theta2[0])
+        sin_p = jnp.sin(theta2[0])
+        u0 = vx2[0] * cos_p + vy2[0] * sin_p
+        s0p = -vx2[0] * sin_p + vy2[0] * cos_p
+        e = 0.0
+        for k in range(4):
+            e = e + jnp.abs(
+                (float(J[k, 0]) * u0 + float(J[k, 1]) * s0p + float(J[k, 2]) * w2[0])
+                / wheel_r
+            )
+        energy = -e / energy_scale
+        shaped = ball_dist + ball_grad + energy
+        reward = jnp.where(goal, 5.0, jnp.where(sb, shaped, 0.0))
+
+        zero = jnp.zeros_like(reward)
+        shaping_new = shaping + jnp.stack([
+            jnp.where(goal, 1.0, 0.0),
+            jnp.where(c_gk, 1.0, 0.0),
+            jnp.where(c_ball_out, 1.0, 0.0),
+            jnp.where(ball_out_right, 1.0, 0.0),
+            jnp.where(c_rbt_out, 1.0, 0.0),
+            jnp.where(sb, ball_dist, zero),
+            jnp.where(sb, ball_grad, zero),
+            jnp.where(sb, energy, zero),
+        ])
+
+        steps_new = steps + 1.0
+        trunc = steps_new >= max_steps
+        done = term | trunc
+
+        # --- reset spawn (envs/ssl_static_defenders.reset_state)
+        bx_c = 0.2 + ball_u[:K] * (half_len - 0.1 - 0.2)
+        by_c = -half_wid + 0.1 + ball_u[K:] * (2 * half_wid - 0.2)
+        in_gk = (bx_c > half_len - pen_len) & (jnp.abs(by_c) < half_pen_wid)
+        # pick_first(~in_gk) one-hot
+        ok = ~in_gk
+        seen = jnp.zeros_like(ok[0])
+        any_ok = jnp.zeros_like(ok[0])
+        rbx = jnp.zeros_like(bx_c[0])
+        rby = jnp.zeros_like(by_c[0])
+        for k in range(K):
+            first_k = ok[k] & ~seen
+            seen = seen | ok[k]
+            any_ok = any_ok | ok[k]
+            rbx = jnp.where(first_k, bx_c[k], rbx)
+            rby = jnp.where(first_k, by_c[k], rby)
+        rbx = jnp.where(any_ok, rbx, bx_c[0])
+        rby = jnp.where(any_ok, rby, by_c[0])
+
+        placed = [(rbx, rby), (jnp.zeros_like(rbx), jnp.zeros_like(rby))]
+        yxs, yys = [], []
+        for i in range(n_y):
+            base = i * 2 * K
+            cx = 0.2 + sp_u[base : base + K] * (half_len - 0.1 - 0.2)
+            cy = (
+                -half_wid + 0.1
+                + sp_u[base + K : base + 2 * K] * (2 * half_wid - 0.2)
+            )
+            sx_i, sy_i = _first_valid(cx, cy, placed, 0.2 * 0.2)
+            placed.append((sx_i, sy_i))
+            yxs.append(sx_i)
+            yys.append(sy_i)
+
+        reset_theta = th_u * (2.0 * jnp.pi)  # (n_y, T)
+        z1 = jnp.zeros_like(rbx)
+
+        # --- auto-reset select
+        def sel(r, v):
+            return jnp.where(done, r, v)
+
+        bx = sel(rbx, bx)
+        by = sel(rby, by)
+        bz = sel(jnp.full_like(bz, field.ball_radius), bz)
+        bvx = sel(zero, bvx)
+        bvy = sel(zero, bvy)
+        bvz = sel(zero, bvz)
+        reset_x = jnp.concatenate([z1[None], jnp.stack(yxs)], axis=0)
+        reset_y = jnp.concatenate([z1[None], jnp.stack(yys)], axis=0)
+        reset_t = jnp.concatenate([z1[None], reset_theta], axis=0)
+        x_out = jnp.where(done[None], reset_x, x2)
+        y_out = jnp.where(done[None], reset_y, y2)
+        t_out = jnp.where(done[None], reset_t, theta2)
+        vx_out = jnp.where(done[None], 0.0, vx2)
+        vy_out = jnp.where(done[None], 0.0, vy2)
+        w_out = jnp.where(done[None], 0.0, w2)
+        ir_out = jnp.where(done[None], False, infrared)
+        steps_out = jnp.where(done, 0.0, steps_new)
+        shaping_out = jnp.where(done[None], 0.0, shaping_new)
+
+        # --- observation (ssl_common.observe_standard, infrared_low=0)
+        def npos(v):
+            return jnp.clip(v / max_pos, -nbnd, nbnd)
+
+        def nv(v):
+            return jnp.clip(v / max_v, -nbnd, nbnd)
+
+        def nw(v):
+            return jnp.clip(v / max_w_norm, -nbnd, nbnd)
+
+        obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
+        obs_rows += [
+            npos(x_out[0]), npos(y_out[0]),
+            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
+            jnp.where(ir_out[0], 1.0, 0.0),
+        ]
+        for i in range(1, n):
+            obs_rows += [npos(x_out[i]), npos(y_out[i])]
+
+        st_out[...] = jnp.concatenate(
+            [
+                jnp.stack([bx, by, bz, bvx, bvy, bvz]),
+                x_out, y_out, t_out, vx_out, vy_out, w_out,
+                steps_out[None],
+                shaping_out,
+            ],
+            axis=0,
+        )
+        obs_out[...] = jnp.stack(obs_rows)
+        aux_out[...] = jnp.concatenate(
+            [
+                jnp.stack([
+                    reward,
+                    term.astype(jnp.float32),
+                    trunc.astype(jnp.float32),
+                ]),
+                shaping_new,
+            ],
+            axis=0,
+        )
+
+    # ---- pallas plumbing (same (8, B/8) view as pallas_vss_full) ----
+    b8 = batch // 8
+    tl = tile // 8
+    if b8 % tl:
+        raise ValueError(f"batch/8 {b8} not divisible by tile/8 {tl}")
+    grid = (b8 // tl,)
+    n_ball_u = 2 * K
+    n_sp = n_y * 2 * K
+
+    out_shape = [
+        jax.ShapeDtypeStruct((S, 8, b8), jnp.float32),
+        jax.ShapeDtypeStruct((obs_size, 8, b8), jnp.float32),
+        jax.ShapeDtypeStruct((11, 8, b8), jnp.float32),
+    ]
+
+    def r3(a):
+        return a.reshape(a.shape[0], 8, b8)
+
+    if rng == "input":
+
+        def kernel(st_ref, act_ref, bu_ref, sp_ref, th_ref,
+                   st_out, obs_out, aux_out):
+            compute(
+                st_ref[...], act_ref[...], bu_ref[...], sp_ref[...],
+                th_ref[...], st_out, obs_out, aux_out,
+            )
+
+        def spec(rows):
+            return pl.BlockSpec((rows, 8, tl), lambda i: (0, 0, i))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(S), spec(5), spec(n_ball_u), spec(n_sp), spec(n_y)],
+            out_specs=[spec(S), spec(obs_size), spec(11)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+
+        def step(state, action, ball_u, spawn_u, theta_u):
+            st, obs, aux = call(
+                r3(state), r3(action), r3(ball_u), r3(spawn_u), r3(theta_u)
+            )
+            return (
+                st.reshape(S, batch),
+                obs.reshape(obs_size, batch),
+                aux.reshape(11, batch),
+            )
+
+        return step
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_uni = n_ball_u + n_sp + n_y
+    two24 = 2.0 ** -24
+
+    def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_uni, 8, tl)), jnp.uint32)
+        # via int32: Mosaic has no u32 -> f32 lowering; 24-bit value is safe
+        uni = (
+            (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * two24
+        )
+        compute(
+            st_ref[...], act_ref[...],
+            uni[:n_ball_u], uni[n_ball_u : n_ball_u + n_sp],
+            uni[n_ball_u + n_sp :],
+            st_out, obs_out, aux_out,
+        )
+
+    def pspec(rows):
+        return pl.BlockSpec((rows, 8, tl), lambda i, s: (0, 0, i))
+
+    call = pl.pallas_call(
+        kernel_rng,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pspec(S), pspec(5)],
+            out_specs=[pspec(S), pspec(obs_size), pspec(11)],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    def step_rng(state, action, seed):
+        st, obs, aux = call(seed, r3(state), r3(action))
+        return (
+            st.reshape(S, batch),
+            obs.reshape(obs_size, batch),
+            aux.reshape(11, batch),
+        )
+
+    return step_rng

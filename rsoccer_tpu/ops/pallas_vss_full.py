@@ -568,8 +568,13 @@ def make_pallas_vss_full_step(
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
         )
-        # top 24 bits -> uniform [0, 1) exactly representable in f32
-        uni = (bits >> jnp.uint32(8)).astype(jnp.float32) * two24
+        # top 24 bits -> uniform [0, 1) exactly representable in f32.
+        # (cast via int32: Mosaic has no u32 -> f32 lowering; the shifted
+        # value fits in 24 bits so the sign is never set)
+        uni = (
+            (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * two24
+        )
         sp_u = uni[:n_sp]
         th_u = uni[n_sp:n_uni]
         u1 = jnp.maximum(uni[n_uni : n_uni + n_nrm], 1e-7)

@@ -53,8 +53,10 @@ def _populate():
 
     # extensions beyond the reference surface
     from rsoccer_tpu.envs.vss_multiagent import VSSMultiAgentEnv
+    from rsoccer_tpu.envs.vss_selfplay import VSSSelfPlayEnv
 
     register("VSSMultiAgent-v0", VSSMultiAgentEnv)
+    register("VSSSelfPlay-v0", VSSSelfPlayEnv)
 
 
 _populate()

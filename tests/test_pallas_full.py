@@ -18,18 +18,24 @@ from rsoccer_tpu.batch.vecenv import BatchedEnv
 
 @pytest.fixture()
 def interp_full(monkeypatch):
-    """Force interpret mode for the full-step kernel on CPU."""
+    """Force interpret mode for the full-step kernels on CPU."""
+    import rsoccer_tpu.ops.pallas_ssl_full as psf
     import rsoccer_tpu.ops.pallas_vss_full as pvf
 
-    orig = pvf.make_pallas_vss_full_step
     monkeypatch.setattr(
         pvf, "make_pallas_vss_full_step",
-        functools.partial(orig, interpret=True),
+        functools.partial(pvf.make_pallas_vss_full_step, interpret=True),
+    )
+    monkeypatch.setattr(
+        psf, "make_pallas_sd_full_step",
+        functools.partial(psf.make_pallas_sd_full_step, interpret=True),
     )
 
 
-def _run_pair(n_steps=6, n_envs=8, max_episode_steps=None, seed=0):
-    env = rsoccer_tpu.make("VSS-v0")
+def _run_pair(
+    n_steps=6, n_envs=8, max_episode_steps=None, seed=0, env_id="VSS-v0"
+):
+    env = rsoccer_tpu.make(env_id)
     if max_episode_steps is not None:
         env.max_episode_steps = max_episode_steps
     ref = BatchedEnv(env, n_envs)
@@ -41,7 +47,9 @@ def _run_pair(n_steps=6, n_envs=8, max_episode_steps=None, seed=0):
     rng = np.random.default_rng(seed + 1)
     outs = []
     for t in range(n_steps):
-        acts = jnp.asarray(rng.uniform(-1, 1, (2, n_envs)), jnp.float32)
+        acts = jnp.asarray(
+            rng.uniform(-1, 1, (env.action_size, n_envs)), jnp.float32
+        )
         k = jax.random.PRNGKey(100 + t)
         ref_out = ref.step(s_ref, acts, k)
         ful_out = ful.step(s_ful, acts, k)
@@ -124,6 +132,73 @@ def test_full_step_matches_through_autoreset(interp_full):
     )
     np.testing.assert_array_equal(
         np.asarray(s_ref.steps), np.asarray(unpacked.steps)
+    )
+
+
+def test_sd_full_step_matches_default(interp_full):
+    """SSLStaticDefenders full-step kernel vs the vmapped XLA path."""
+    ref, ful, s_ref, s_ful, outs = _run_pair(
+        n_steps=6, env_id="SSLStaticDefenders-v0", seed=5
+    )
+    for t, (r, f) in enumerate(outs):
+        _, o_r, rew_r, te_r, tr_r, i_r = r
+        _, o_f, rew_f, te_f, tr_f, i_f = f
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"obs diverged at step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew_r), np.asarray(rew_f), atol=5e-5,
+            err_msg=f"reward diverged at step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
+        assert set(i_r) == set(i_f)
+        for k_ in i_r:
+            np.testing.assert_allclose(
+                np.asarray(i_r[k_]), np.asarray(i_f[k_]), atol=5e-5,
+                err_msg=f"info[{k_}] diverged at step {t}",
+            )
+    # unpacked state agrees (infrared for robot 0, wheel speeds, shaping)
+    up = ful.unpack_state(s_ful)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.world.robots.x), np.asarray(up.world.robots.x),
+        atol=5e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.world.robots.infrared[0]),
+        np.asarray(up.world.robots.infrared[0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.world.robots.v_wheel[0]),
+        np.asarray(up.world.robots.v_wheel[0]), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.shaping), np.asarray(up.shaping), atol=5e-5
+    )
+
+
+def test_sd_full_step_matches_through_autoreset(interp_full):
+    ref, ful, s_ref, s_ful, outs = _run_pair(
+        n_steps=8, env_id="SSLStaticDefenders-v0",
+        max_episode_steps=3, seed=9,
+    )
+    saw_done = False
+    for t, (r, f) in enumerate(outs):
+        _, o_r, _, te_r, tr_r, _ = r
+        _, o_f, _, te_f, tr_f, _ = f
+        saw_done = saw_done or bool(np.asarray(tr_r).any())
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"obs diverged at step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(tr_r), np.asarray(tr_f))
+    assert saw_done
+    up = ful.unpack_state(s_ful)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.world.ball.x), np.asarray(up.world.ball.x), atol=5e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.steps), np.asarray(up.steps)
     )
 
 

@@ -131,29 +131,63 @@ class BatchedEnv:
             from rsoccer_tpu.envs.ssl_static_defenders import (
                 _SHAPING_KEYS as SD_KEYS,
             )
-            from rsoccer_tpu.ops.pallas_ssl_full import (
-                make_pallas_sd_full_step,
-                pack_sd_state,
-                unpack_sd_state,
-            )
+            from rsoccer_tpu.ops import pallas_ssl_full as psf
 
-            self._full = make_pallas_sd_full_step(env, b, tile=tile, rng=rng)
-            self._pack = pack_sd_state
-            self._unpack = lambda s: unpack_sd_state(s, env)
+            self._full = psf.make_pallas_sd_full_step(env, b, tile=tile, rng=rng)
+            self._pack = psf.pack_sd_state
+            self._unpack = lambda s: psf.unpack_sd_state(s, env)
             self._info_keys = SD_KEYS
-
-            def pack_noise(t_noise, r_noise):
-                return (
-                    r_noise["ball"].reshape(-1, b),
-                    r_noise["spawn"].reshape(-1, b),
-                    r_noise["theta"].reshape(-1, b),
-                )
-
-            self._pack_noise = pack_noise
+            self._pack_noise = lambda t, r: (
+                r["ball"].reshape(-1, b),
+                r["spawn"].reshape(-1, b),
+                r["theta"].reshape(-1, b),
+            )
+        elif self._dispatch_ssl_simple(env, n_envs, tile, rng):
+            pass
         else:
             raise NotImplementedError(
                 f"pallas_full not implemented for {type(env).__name__}"
             )
+
+    def _dispatch_ssl_simple(self, env, n_envs, tile, rng) -> bool:
+        """CP / Dribbling / PE full-step kernels."""
+        from rsoccer_tpu.envs.ssl_contested_possession import (
+            SSLContestedPossessionEnv,
+            _SHAPING_KEYS as CP_KEYS,
+        )
+        from rsoccer_tpu.envs.ssl_dribbling import SSLDribblingEnv
+        from rsoccer_tpu.envs.ssl_pass_endurance import (
+            SSLPassEnduranceEnv,
+            _SHAPING_KEYS as PE_KEYS,
+        )
+        from rsoccer_tpu.ops import pallas_ssl_full as psf
+
+        b = n_envs
+        if type(env) is SSLContestedPossessionEnv:
+            self._full = psf.make_pallas_cp_full_step(env, b, tile=tile, rng=rng)
+            self._pack = psf.pack_cp_state
+            self._unpack = lambda s: psf.unpack_cp_state(s, env)
+            self._info_keys = CP_KEYS
+            self._pack_noise = lambda t, r: (r["enemy"].reshape(-1, b),)
+            return True
+        if type(env) is SSLDribblingEnv:
+            self._full = psf.make_pallas_dr_full_step(env, b, tile=tile, rng=rng)
+            self._pack = psf.pack_dr_state
+            self._unpack = lambda s: psf.unpack_dr_state(s, env)
+            self._info_keys = ()
+            self._pack_noise = lambda t, r: ()
+            return True
+        if type(env) is SSLPassEnduranceEnv:
+            self._full = psf.make_pallas_pe_full_step(env, b, tile=tile, rng=rng)
+            self._pack = psf.pack_pe_state
+            self._unpack = lambda s: psf.unpack_pe_state(s, env)
+            self._info_keys = PE_KEYS
+            self._pack_noise = lambda t, r: (
+                r["ball"].reshape(-1, b),
+                r["recv_x"].reshape(-1, b),
+            )
+            return True
+        return False
 
     def unpack_state(self, state):
         """Structured state view of a ``pallas_full`` packed state."""

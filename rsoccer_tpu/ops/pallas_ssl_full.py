@@ -220,6 +220,132 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
     return physics
 
 
+def _build_call(
+    compute,
+    *,
+    S: int,
+    n_act: int,
+    obs_size: int,
+    aux_rows: int,
+    noise_rows: list[int],
+    batch: int,
+    tile: int,
+    interpret: bool | None,
+    rng: str,
+):
+    """Shared pallas plumbing for the SSL task kernels.
+
+    ``compute(st, act, noise_list, st_out, obs_out, aux_out)`` is the task
+    body; ``noise_rows`` gives the per-input uniform row counts.  Returns
+    ``step(state, action, *noise)`` (input mode) or
+    ``step(state, action, seed)`` (kernel mode, uniforms drawn in-kernel).
+    Batch viewed as (8, B/8) — see ops/pallas_vss_full.py.
+    """
+    if interpret is None:
+        # Mosaic only lowers on TPU; everywhere else interpret mode is the
+        # only way to run the kernel (slow, but correct — used by CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    if batch % tile or tile % 8:
+        raise ValueError(f"bad batch/tile: {batch}/{tile}")
+    if rng not in ("input", "kernel"):
+        raise ValueError(f"rng must be 'input' or 'kernel', got {rng!r}")
+    b8 = batch // 8
+    tl = tile // 8
+    if b8 % tl:
+        raise ValueError(f"batch/8 {b8} not divisible by tile/8 {tl}")
+    grid = (b8 // tl,)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((S, 8, b8), jnp.float32),
+        jax.ShapeDtypeStruct((obs_size, 8, b8), jnp.float32),
+        jax.ShapeDtypeStruct((aux_rows, 8, b8), jnp.float32),
+    ]
+
+    def r3(a):
+        return a.reshape(a.shape[0], 8, b8)
+
+    def out3(st, obs, aux):
+        return (
+            st.reshape(S, batch),
+            obs.reshape(obs_size, batch),
+            aux.reshape(aux_rows, batch),
+        )
+
+    n_uni = sum(noise_rows)
+    if rng == "input" or n_uni == 0:
+
+        def kernel(*refs):
+            ins = refs[: 2 + len(noise_rows)]
+            outs = refs[2 + len(noise_rows) :]
+            compute(
+                ins[0][...], ins[1][...], [r[...] for r in ins[2:]], *outs
+            )
+
+        def spec(rows):
+            return pl.BlockSpec((rows, 8, tl), lambda i: (0, 0, i))
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(S), spec(n_act)] + [spec(r) for r in noise_rows],
+            out_specs=[spec(S), spec(obs_size), spec(aux_rows)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+
+        if rng == "input":
+
+            def step(state, action, *noise):
+                return out3(*call(r3(state), r3(action), *map(r3, noise)))
+
+            return step
+
+        # rng == "kernel" with no noise inputs: identical program, but the
+        # caller passes a (unused) seed for interface uniformity
+        def step_seedless(state, action, seed):
+            return out3(*call(r3(state), r3(action)))
+
+        return step_seedless
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    two24 = 2.0 ** -24
+
+    def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((n_uni, 8, tl)), jnp.uint32)
+        # via int32: Mosaic has no u32 -> f32 lowering; 24-bit value is safe
+        uni = (
+            (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * two24
+        )
+        noise, off = [], 0
+        for r in noise_rows:
+            noise.append(uni[off : off + r])
+            off += r
+        compute(st_ref[...], act_ref[...], noise, st_out, obs_out, aux_out)
+
+    def pspec(rows):
+        return pl.BlockSpec((rows, 8, tl), lambda i, s: (0, 0, i))
+
+    call = pl.pallas_call(
+        kernel_rng,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[pspec(S), pspec(n_act)],
+            out_specs=[pspec(S), pspec(obs_size), pspec(aux_rows)],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    def step_rng(state, action, seed):
+        return out3(*call(seed, r3(state), r3(action)))
+
+    return step_rng
+
+
 # ---------------------------------------------------------------------------
 # SSLStaticDefenders-v0
 # ---------------------------------------------------------------------------
@@ -299,7 +425,7 @@ def make_pallas_sd_full_step(
     env,
     batch: int,
     tile: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
     rng: str = "input",
 ):
     """Full-step kernel for SSLStaticDefenders-v0.
@@ -342,7 +468,8 @@ def make_pallas_sd_full_step(
 
     physics = make_ssl_physics_body(field, cfg, env.time_step, cfg.n_substeps)
 
-    def compute(st, act, ball_u, sp_u, th_u, st_out, obs_out, aux_out):
+    def compute(st, act, noise, st_out, obs_out, aux_out):
+        ball_u, sp_u, th_u = noise
         bx0, by0, bz0, bvx0, bvy0, bvz0 = (st[i] for i in range(6))
         o = 6
         x = st[o : o + n]; o += n
@@ -491,7 +618,9 @@ def make_pallas_sd_full_step(
         vx_out = jnp.where(done[None], 0.0, vx2)
         vy_out = jnp.where(done[None], 0.0, vy2)
         w_out = jnp.where(done[None], 0.0, w2)
-        ir_out = jnp.where(done[None], False, infrared)
+        # reset lanes drop infrared; boolean AND instead of select_n —
+        # Mosaic rejects i1 selects ("unsupported target bitwidth")
+        ir_out = infrared & ~done[None]
         steps_out = jnp.where(done, 0.0, steps_new)
         shaping_out = jnp.where(done[None], 0.0, shaping_new)
 
@@ -537,98 +666,738 @@ def make_pallas_sd_full_step(
             axis=0,
         )
 
-    # ---- pallas plumbing (same (8, B/8) view as pallas_vss_full) ----
-    b8 = batch // 8
-    tl = tile // 8
-    if b8 % tl:
-        raise ValueError(f"batch/8 {b8} not divisible by tile/8 {tl}")
-    grid = (b8 // tl,)
-    n_ball_u = 2 * K
-    n_sp = n_y * 2 * K
-
-    out_shape = [
-        jax.ShapeDtypeStruct((S, 8, b8), jnp.float32),
-        jax.ShapeDtypeStruct((obs_size, 8, b8), jnp.float32),
-        jax.ShapeDtypeStruct((11, 8, b8), jnp.float32),
-    ]
-
-    def r3(a):
-        return a.reshape(a.shape[0], 8, b8)
-
-    if rng == "input":
-
-        def kernel(st_ref, act_ref, bu_ref, sp_ref, th_ref,
-                   st_out, obs_out, aux_out):
-            compute(
-                st_ref[...], act_ref[...], bu_ref[...], sp_ref[...],
-                th_ref[...], st_out, obs_out, aux_out,
-            )
-
-        def spec(rows):
-            return pl.BlockSpec((rows, 8, tl), lambda i: (0, 0, i))
-
-        call = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[spec(S), spec(5), spec(n_ball_u), spec(n_sp), spec(n_y)],
-            out_specs=[spec(S), spec(obs_size), spec(11)],
-            out_shape=out_shape,
-            interpret=interpret,
-        )
-
-        def step(state, action, ball_u, spawn_u, theta_u):
-            st, obs, aux = call(
-                r3(state), r3(action), r3(ball_u), r3(spawn_u), r3(theta_u)
-            )
-            return (
-                st.reshape(S, batch),
-                obs.reshape(obs_size, batch),
-                aux.reshape(11, batch),
-            )
-
-        return step
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_uni = n_ball_u + n_sp + n_y
-    two24 = 2.0 ** -24
-
-    def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((n_uni, 8, tl)), jnp.uint32)
-        # via int32: Mosaic has no u32 -> f32 lowering; 24-bit value is safe
-        uni = (
-            (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
-            * two24
-        )
-        compute(
-            st_ref[...], act_ref[...],
-            uni[:n_ball_u], uni[n_ball_u : n_ball_u + n_sp],
-            uni[n_ball_u + n_sp :],
-            st_out, obs_out, aux_out,
-        )
-
-    def pspec(rows):
-        return pl.BlockSpec((rows, 8, tl), lambda i, s: (0, 0, i))
-
-    call = pl.pallas_call(
-        kernel_rng,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[pspec(S), pspec(5)],
-            out_specs=[pspec(S), pspec(obs_size), pspec(11)],
-        ),
-        out_shape=out_shape,
-        interpret=interpret,
+    return _build_call(
+        compute,
+        S=S, n_act=5, obs_size=obs_size, aux_rows=11,
+        noise_rows=[2 * K, n_y * 2 * K, n_y],
+        batch=batch, tile=tile, interpret=interpret, rng=rng,
     )
 
-    def step_rng(state, action, seed):
-        st, obs, aux = call(seed, r3(state), r3(action))
-        return (
-            st.reshape(S, batch),
-            obs.reshape(obs_size, batch),
-            aux.reshape(11, batch),
+
+# ---------------------------------------------------------------------------
+# SSLContestedPossession-v0
+# ---------------------------------------------------------------------------
+
+def cp_state_size() -> int:
+    # ball 6 + 2 robots x 6 + steps 1 + shaping 9
+    return 28
+
+
+def pack_cp_state(state) -> jnp.ndarray:
+    w = state.world
+    rows = [
+        w.ball.x[None], w.ball.y[None], w.ball.z[None],
+        w.ball.v_x[None], w.ball.v_y[None], w.ball.v_z[None],
+        w.robots.x, w.robots.y, w.robots.theta,
+        w.robots.v_x, w.robots.v_y, w.robots.v_theta,
+        state.steps[None].astype(jnp.float32),
+        state.shaping,
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_cp_state(arr: jnp.ndarray, env):
+    from rsoccer_tpu.envs.ssl_contested_possession import CPState
+
+    world, steps, rest = _unpack_world(arr, env, n_extra=9)
+    return CPState(world=world, steps=steps, shaping=rest)
+
+
+def _unpack_world(arr, env, n_extra):
+    """Shared ball/robots/steps unpack (same reconstruction as
+    unpack_sd_state); returns (world, steps, extra_rows)."""
+    n = env.n_robots
+    o = 6
+    x = arr[o : o + n]; o += n
+    y = arr[o : o + n]; o += n
+    theta = arr[o : o + n]; o += n
+    vx = arr[o : o + n]; o += n
+    vy = arr[o : o + n]; o += n
+    vth = arr[o : o + n]; o += n
+    steps = arr[o].astype(jnp.int32); o += 1
+    extra = arr[o : o + n_extra]
+
+    J = wheel_jacobian(env.field)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    u = vx * cos_t + vy * sin_t
+    s = -vx * sin_t + vy * cos_t
+    local = jnp.stack([u, s, vth], axis=1)
+    v_wheel = (
+        jnp.einsum("wk,nkb->nwb", jnp.asarray(J), local)
+        / env.field.rbt_wheel_radius
+    )
+
+    from rsoccer_tpu.physics.config import SSL_PHYSICS
+
+    f = env.field
+    dx = arr[0][None] - x
+    dy = arr[1][None] - y
+    lx = dx * cos_t + dy * sin_t
+    ly = -dx * sin_t + dy * cos_t
+    lo = f.rbt_distance_center_kicker - f.rbt_kicker_thickness - f.ball_radius
+    hi = (
+        f.rbt_distance_center_kicker
+        + f.ball_radius
+        + SSL_PHYSICS.kicker_depth_slack
+    )
+    low = (arr[2][None] - f.ball_radius) <= SSL_PHYSICS.kicker_height
+    infrared = (
+        (lx >= lo) & (lx <= hi) & (jnp.abs(ly) <= f.rbt_kicker_width / 2) & low
+    )
+
+    world = WorldState(
+        ball=BallState(
+            x=arr[0], y=arr[1], z=arr[2], v_x=arr[3], v_y=arr[4], v_z=arr[5]
+        ),
+        robots=RobotsState(
+            x=x, y=y, theta=theta, v_x=vx, v_y=vy, v_theta=vth,
+            infrared=infrared, v_wheel=v_wheel,
+        ),
+    )
+    return world, steps, extra
+
+
+def make_pallas_cp_full_step(
+    env, batch: int, tile: int = 2048, interpret: bool | None = None,
+    rng: str = "input",
+):
+    """Full-step kernel for SSLContestedPossession-v0
+    (envs/ssl_contested_possession.py semantics)."""
+    field = env.field
+    cfg = env.physics_cfg
+    n = env.n_robots  # 2
+    S = cp_state_size()
+    obs_size = env.obs_size  # 14
+    max_steps = float(env.max_episode_steps)
+
+    max_v, max_w_cmd = env.max_v, env.max_w_cmd
+    max_w_norm, max_pos, nbnd = env.max_w_norm, env.max_pos, env.norm_bounds
+    kick_speed = env.kick_speed_x
+    ball_dist_scale = env.ball_dist_scale
+    ball_grad_scale = env.ball_grad_scale
+    energy_scale = env.energy_scale
+
+    half_len, half_wid = field.half_length, field.half_width
+    pen_len, half_pen_wid = field.penalty_length, field.penalty_width / 2
+    half_goal_wid = field.goal_width / 2
+    wheel_r = field.rbt_wheel_radius
+    J = wheel_jacobian(field)
+    physics = make_ssl_physics_body(field, cfg, env.time_step, cfg.n_substeps)
+
+    def compute(st, act, noise, st_out, obs_out, aux_out):
+        (enemy_u,) = noise
+        bx0, by0, bz0, bvx0, bvy0, bvz0 = (st[i] for i in range(6))
+        o = 6
+        x = st[o : o + n]; o += n
+        y = st[o : o + n]; o += n
+        theta = st[o : o + n]; o += n
+        vx = st[o : o + n]; o += n
+        vy = st[o : o + n]; o += n
+        w = st[o : o + n]; o += n
+        steps = st[o]; o += 1
+        shaping = st[o : o + 9]
+
+        # convert_actions (robot 0)
+        a_vx = act[0] * max_v
+        a_vy = act[1] * max_v
+        a_vt = act[2] * max_w_cmd
+        c0 = jnp.cos(theta[0])
+        s0 = jnp.sin(theta[0])
+        lvx = a_vx * c0 + a_vy * s0
+        lvy = -a_vx * s0 + a_vy * c0
+        v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
+        sc = jnp.where(v_norm < max_v, 1.0, max_v / jnp.maximum(v_norm, _EPS))
+        lvx = lvx * sc
+        lvy = lvy * sc
+
+        zero_n1 = jnp.zeros_like(x[1:])
+        tu = jnp.concatenate([lvx[None], zero_n1], axis=0)
+        tv = jnp.concatenate([lvy[None], zero_n1], axis=0)
+        tw = jnp.concatenate([a_vt[None], zero_n1], axis=0)
+        kick0 = jnp.where(act[3] > 0.0, kick_speed, 0.0)
+        kick_vx = jnp.concatenate([kick0[None], zero_n1], axis=0)
+        kick_vz = jnp.zeros_like(kick_vx)
+        dribbler = jnp.concatenate(
+            [(act[4] > 0.0)[None], zero_n1 > 1.0], axis=0
         )
 
-    return step_rng
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+            x, y, theta, vx, vy, w,
+            (bx0, by0, bz0, bvx0, bvy0, bvz0),
+            (tu, tv, tw), kick_vx, kick_vz, dribbler,
+        )
+        bx, by, bz, bvx, bvy, bvz = ball2
+
+        # collision is independent of the chain (reference :165-169)
+        collision = (jnp.abs(vx2[1]) > 0.1) | (jnp.abs(vy2[1]) > 0.1)
+
+        rx, ry = x2[0], y2[0]
+        c_rbt_out = (rx < -0.2) | (jnp.abs(ry) > half_wid)
+        c_gk = (
+            ~c_rbt_out
+            & (rx > half_len - pen_len)
+            & (jnp.abs(ry) < half_pen_wid)
+        )
+        c_ball_out = ~c_rbt_out & ~c_gk & ((bx < 0) | (jnp.abs(by) > half_wid))
+        c_ball_right = ~c_rbt_out & ~c_gk & ~c_ball_out & (bx > half_len)
+        goal = c_ball_right & (jnp.abs(by) < half_goal_wid)
+        ball_out_right = c_ball_right & ~goal
+        chain_done = c_rbt_out | c_gk | c_ball_out | c_ball_right
+        sb = ~chain_done  # shaping still pays on collision steps
+        term = collision | chain_done
+
+        last_d = jnp.sqrt((x[0] - bx0) ** 2 + (y[0] - by0) ** 2)
+        d = jnp.sqrt((rx - bx) ** 2 + (ry - by) ** 2)
+        ball_dist = jnp.clip(last_d - d, -1.0, 1.0) / ball_dist_scale
+        last_g = jnp.sqrt((bx0 - half_len) ** 2 + by0 * by0)
+        g = jnp.sqrt((bx - half_len) ** 2 + by * by)
+        ball_grad = jnp.clip(last_g - g, -1.0, 1.0) / ball_grad_scale
+        cos_p = jnp.cos(theta2[0])
+        sin_p = jnp.sin(theta2[0])
+        u0 = vx2[0] * cos_p + vy2[0] * sin_p
+        s0p = -vx2[0] * sin_p + vy2[0] * cos_p
+        e = 0.0
+        for k in range(4):
+            e = e + jnp.abs(
+                (
+                    float(J[k, 0]) * u0
+                    + float(J[k, 1]) * s0p
+                    + float(J[k, 2]) * w2[0]
+                )
+                / wheel_r
+            )
+        energy = -e / energy_scale
+        shaped = ball_dist + ball_grad + energy
+        reward = jnp.where(goal, 5.0, jnp.where(sb, shaped, 0.0))
+
+        zero = jnp.zeros_like(reward)
+        shaping_new = shaping + jnp.stack([
+            jnp.where(goal, 1.0, 0.0),
+            jnp.where(c_gk, 1.0, 0.0),
+            jnp.where(c_ball_out, 1.0, 0.0),
+            jnp.where(ball_out_right, 1.0, 0.0),
+            jnp.where(c_rbt_out, 1.0, 0.0),
+            jnp.where(sb, ball_dist, zero),
+            jnp.where(sb, ball_grad, zero),
+            jnp.where(sb, energy, zero),
+            jnp.where(collision, 1.0, 0.0),
+        ])
+
+        steps_new = steps + 1.0
+        trunc = steps_new >= max_steps
+        done = term | trunc
+
+        # reset (envs/ssl_contested_possession.reset_state)
+        enemy_x = pen_len + enemy_u[0] * (half_len - 2 * pen_len)
+        enemy_y = -half_pen_wid + enemy_u[1] * (2 * half_pen_wid)
+
+        def sel(r, v):
+            return jnp.where(done, r, v)
+
+        bx = sel(enemy_x - 0.1, bx)
+        by = sel(enemy_y, by)
+        bz = sel(jnp.full_like(bz, field.ball_radius), bz)
+        bvx = sel(zero, bvx)
+        bvy = sel(zero, bvy)
+        bvz = sel(zero, bvz)
+        z1 = jnp.zeros_like(enemy_x)
+        reset_x = jnp.stack([z1, enemy_x])
+        reset_y = jnp.stack([z1, enemy_y])
+        reset_t = jnp.stack([z1, jnp.full_like(enemy_x, jnp.pi)])
+        x_out = jnp.where(done[None], reset_x, x2)
+        y_out = jnp.where(done[None], reset_y, y2)
+        t_out = jnp.where(done[None], reset_t, theta2)
+        vx_out = jnp.where(done[None], 0.0, vx2)
+        vy_out = jnp.where(done[None], 0.0, vy2)
+        w_out = jnp.where(done[None], 0.0, w2)
+        ir_out = infrared & ~done[None]
+        steps_out = jnp.where(done, 0.0, steps_new)
+        shaping_out = jnp.where(done[None], 0.0, shaping_new)
+
+        def npos(v):
+            return jnp.clip(v / max_pos, -nbnd, nbnd)
+
+        def nv(v):
+            return jnp.clip(v / max_v, -nbnd, nbnd)
+
+        def nw(v):
+            return jnp.clip(v / max_w_norm, -nbnd, nbnd)
+
+        obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
+        obs_rows += [
+            npos(x_out[0]), npos(y_out[0]),
+            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
+            jnp.where(ir_out[0], 1.0, 0.0),
+        ]
+        obs_rows += [npos(x_out[1]), npos(y_out[1])]
+
+        st_out[...] = jnp.concatenate(
+            [
+                jnp.stack([bx, by, bz, bvx, bvy, bvz]),
+                x_out, y_out, t_out, vx_out, vy_out, w_out,
+                steps_out[None],
+                shaping_out,
+            ],
+            axis=0,
+        )
+        obs_out[...] = jnp.stack(obs_rows)
+        aux_out[...] = jnp.concatenate(
+            [
+                jnp.stack([
+                    reward,
+                    term.astype(jnp.float32),
+                    trunc.astype(jnp.float32),
+                ]),
+                shaping_new,
+            ],
+            axis=0,
+        )
+
+    return _build_call(
+        compute,
+        S=S, n_act=5, obs_size=obs_size, aux_rows=12,
+        noise_rows=[2],
+        batch=batch, tile=tile, interpret=interpret, rng=rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SSLDribbling-v0
+# ---------------------------------------------------------------------------
+
+_NODES = (-0.5, -1.0, -1.5, -2.0)  # envs/ssl_dribbling.NODES
+_MARGIN = 1.0
+
+
+def dr_state_size() -> int:
+    # ball 6 + 5 robots x 6 + steps 1 + checkpoints 1
+    return 38
+
+
+def pack_dr_state(state) -> jnp.ndarray:
+    w = state.world
+    rows = [
+        w.ball.x[None], w.ball.y[None], w.ball.z[None],
+        w.ball.v_x[None], w.ball.v_y[None], w.ball.v_z[None],
+        w.robots.x, w.robots.y, w.robots.theta,
+        w.robots.v_x, w.robots.v_y, w.robots.v_theta,
+        state.steps[None].astype(jnp.float32),
+        state.checkpoints[None].astype(jnp.float32),
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_dr_state(arr: jnp.ndarray, env):
+    from rsoccer_tpu.envs.ssl_dribbling import DribblingState
+
+    world, steps, rest = _unpack_world(arr, env, n_extra=1)
+    return DribblingState(
+        world=world, steps=steps, checkpoints=rest[0].astype(jnp.int32)
+    )
+
+
+def make_pallas_dr_full_step(
+    env, batch: int, tile: int = 2048, interpret: bool | None = None,
+    rng: str = "input",
+):
+    """Full-step kernel for SSLDribbling-v0 (envs/ssl_dribbling.py
+    semantics — gate automaton as f32 counter math; reset deterministic,
+    so this task needs NO noise at all)."""
+    field = env.field
+    cfg = env.physics_cfg
+    n = env.n_robots  # 5
+    S = dr_state_size()
+    obs_size = env.obs_size  # 21
+    max_steps = float(env.max_episode_steps)
+
+    max_v, max_w_cmd = env.max_v, env.max_w_cmd
+    max_w_norm, max_pos, nbnd = env.max_w_norm, env.max_pos, env.norm_bounds
+    physics = make_ssl_physics_body(field, cfg, env.time_step, cfg.n_substeps)
+    n0, n1, n2, n3 = _NODES
+
+    def compute(st, act, noise, st_out, obs_out, aux_out):
+        del noise
+        bx0, by0, bz0, bvx0, bvy0, bvz0 = (st[i] for i in range(6))
+        o = 6
+        x = st[o : o + n]; o += n
+        y = st[o : o + n]; o += n
+        theta = st[o : o + n]; o += n
+        vx = st[o : o + n]; o += n
+        vy = st[o : o + n]; o += n
+        w = st[o : o + n]; o += n
+        steps = st[o]; o += 1
+        count = st[o]  # f32 checkpoint counter (exact small ints)
+
+        # convert_actions (robot 0); action = [vx, vy, vtheta, dribbler]
+        a_vx = act[0] * max_v
+        a_vy = act[1] * max_v
+        a_vt = act[2] * max_w_cmd
+        c0 = jnp.cos(theta[0])
+        s0 = jnp.sin(theta[0])
+        lvx = a_vx * c0 + a_vy * s0
+        lvy = -a_vx * s0 + a_vy * c0
+        v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
+        sc = jnp.where(v_norm < max_v, 1.0, max_v / jnp.maximum(v_norm, _EPS))
+        lvx = lvx * sc
+        lvy = lvy * sc
+
+        zero_n1 = jnp.zeros_like(x[1:])
+        tu = jnp.concatenate([lvx[None], zero_n1], axis=0)
+        tv = jnp.concatenate([lvy[None], zero_n1], axis=0)
+        tw = jnp.concatenate([a_vt[None], zero_n1], axis=0)
+        kick_vx = jnp.zeros_like(tu)  # no kicker in this task
+        kick_vz = jnp.zeros_like(tu)
+        dribbler = jnp.concatenate(
+            [(act[3] > 0.0)[None], zero_n1 > 1.0], axis=0
+        )
+
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+            x, y, theta, vx, vy, w,
+            (bx0, by0, bz0, bvx0, bvy0, bvz0),
+            (tu, tv, tw), kick_vx, kick_vz, dribbler,
+        )
+        bx, by, bz, bvx, bvy, bvz = ball2
+
+        # collision: any yellow moving (reference :143-145)
+        collision = (
+            jnp.sum(
+                (
+                    (jnp.abs(vx2[1:]) > 0.05) | (jnp.abs(vy2[1:]) > 0.05)
+                ).astype(jnp.float32),
+                axis=0,
+            )
+            > 0.0
+        )
+
+        rx, ry = x2[0], y2[0]
+        rbt_out = (rx < n3 - _MARGIN) | (rx > _MARGIN) | (jnp.abs(ry) > _MARGIN)
+
+        down = (by0 >= 0) & (by < 0)
+        up = (by0 < 0) & (by >= 0)
+
+        in01 = (bx < n0) & (bx > n1)
+        in12 = (bx < n1) & (bx > n2)
+        in23 = (bx < n2) & (bx > n3)
+        in3m = (bx > n3 - _MARGIN) & (bx < n3)
+
+        is_even = jnp.mod(count, 2.0) == 0.0
+        even_ge2 = (count >= 2.0) & is_even
+        odd_ge2 = (count >= 2.0) & ~is_even
+
+        cross0 = (count == 0.0) & in01 & down
+        cross1 = (count == 1.0) & in12 & up
+        cross_even = even_ge2 & in23 & down
+        reverse_even = even_ge2 & in23 & up
+        cross_odd = odd_ge2 & in3m & up
+
+        crossed = ~rbt_out & (cross0 | cross1 | cross_even | cross_odd)
+        reversed_gate = ~rbt_out & reverse_even
+
+        new_count = count + jnp.where(crossed, 1.0, 0.0)
+        completed = ~rbt_out & cross_even & (new_count == 7.0)
+
+        reward = jnp.where(crossed, 1.0, 0.0)
+        term = collision | rbt_out | reversed_gate | completed
+
+        steps_new = steps + 1.0
+        trunc = steps_new >= max_steps
+        done = term | trunc
+
+        # deterministic reset (envs/ssl_dribbling.reset_state)
+        zero = jnp.zeros_like(reward)
+
+        def sel(rv, v):
+            return jnp.where(done, rv, v)
+
+        bx = sel(jnp.full_like(bx, -0.1), bx)
+        by = sel(zero, by)
+        bz = sel(jnp.full_like(bz, field.ball_radius), bz)
+        bvx = sel(zero, bvx)
+        bvy = sel(zero, bvy)
+        bvz = sel(zero, bvz)
+        reset_x = jnp.stack([
+            zero,
+            jnp.full_like(zero, n0), jnp.full_like(zero, n1),
+            jnp.full_like(zero, n2), jnp.full_like(zero, n3),
+        ])
+        reset_y = jnp.zeros_like(reset_x)
+        reset_t = jnp.full_like(reset_x, jnp.pi)
+        x_out = jnp.where(done[None], reset_x, x2)
+        y_out = jnp.where(done[None], reset_y, y2)
+        t_out = jnp.where(done[None], reset_t, theta2)
+        vx_out = jnp.where(done[None], 0.0, vx2)
+        vy_out = jnp.where(done[None], 0.0, vy2)
+        w_out = jnp.where(done[None], 0.0, w2)
+        ir_out = infrared & ~done[None]
+        steps_out = jnp.where(done, 0.0, steps_new)
+        count_out = jnp.where(done, 0.0, new_count)
+
+        def npos(v):
+            return jnp.clip(v / max_pos, -nbnd, nbnd)
+
+        def nv(v):
+            return jnp.clip(v / max_v, -nbnd, nbnd)
+
+        def nw(v):
+            return jnp.clip(v / max_w_norm, -nbnd, nbnd)
+
+        # obs head: checkpoint progress from the POST-select count
+        head = (count_out / 6.0) * 2.0 - 1.0
+        obs_rows = [head, npos(bx), npos(by), nv(bvx), nv(bvy)]
+        obs_rows += [
+            npos(x_out[0]), npos(y_out[0]),
+            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
+            jnp.where(ir_out[0], 1.0, -1.0),  # infrared in {-1, 1}!
+        ]
+        for i in range(1, n):
+            obs_rows += [npos(x_out[i]), npos(y_out[i])]
+
+        st_out[...] = jnp.concatenate(
+            [
+                jnp.stack([bx, by, bz, bvx, bvy, bvz]),
+                x_out, y_out, t_out, vx_out, vy_out, w_out,
+                steps_out[None],
+                count_out[None],
+            ],
+            axis=0,
+        )
+        obs_out[...] = jnp.stack(obs_rows)
+        aux_out[...] = jnp.stack(
+            [reward, term.astype(jnp.float32), trunc.astype(jnp.float32)]
+        )
+
+    return _build_call(
+        compute,
+        S=S, n_act=4, obs_size=obs_size, aux_rows=3,
+        noise_rows=[],
+        batch=batch, tile=tile, interpret=interpret, rng=rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SSLPassEndurance-v0
+# ---------------------------------------------------------------------------
+
+def pe_state_size() -> int:
+    # ball 6 + 2 robots x 6 + steps 1 + stopped_steps 1 + shaping 2
+    return 22
+
+
+def pack_pe_state(state) -> jnp.ndarray:
+    w = state.world
+    rows = [
+        w.ball.x[None], w.ball.y[None], w.ball.z[None],
+        w.ball.v_x[None], w.ball.v_y[None], w.ball.v_z[None],
+        w.robots.x, w.robots.y, w.robots.theta,
+        w.robots.v_x, w.robots.v_y, w.robots.v_theta,
+        state.steps[None].astype(jnp.float32),
+        state.stopped_steps[None].astype(jnp.float32),
+        state.shaping,
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_pe_state(arr: jnp.ndarray, env):
+    from rsoccer_tpu.envs.ssl_pass_endurance import PEState
+
+    world, steps, rest = _unpack_world(arr, env, n_extra=3)
+    return PEState(
+        world=world, steps=steps,
+        stopped_steps=rest[0].astype(jnp.int32), shaping=rest[1:],
+    )
+
+
+def make_pallas_pe_full_step(
+    env, batch: int, tile: int = 2048, interpret: bool | None = None,
+    rng: str = "input",
+):
+    """Full-step kernel for SSLPassEndurance-v0
+    (envs/ssl_pass_endurance.py semantics — shooter rotates/kicks only,
+    receiver frozen with dribbler on; int-centimeter bbox wrong-ball test
+    done in f32 trunc space, exact for field-scale magnitudes)."""
+    from rsoccer_tpu.envs.ssl_pass_endurance import N_CAND
+
+    field = env.field
+    cfg = env.physics_cfg
+    n = env.n_robots  # 2
+    S = pe_state_size()
+    obs_size = env.obs_size  # 16
+    max_steps = float(env.max_episode_steps)
+
+    max_v, max_w_cmd = env.max_v, env.max_w_cmd
+    max_w_norm, max_pos, nbnd = env.max_w_norm, env.max_pos, env.norm_bounds
+    max_kick_x = env.max_kick_x
+    ball_grad_scale = env.ball_grad_scale
+    physics = make_ssl_physics_body(field, cfg, env.time_step, cfg.n_substeps)
+
+    def compute(st, act, noise, st_out, obs_out, aux_out):
+        ball_u, recv_u = noise
+        bx0, by0, bz0, bvx0, bvy0, bvz0 = (st[i] for i in range(6))
+        o = 6
+        x = st[o : o + n]; o += n
+        y = st[o : o + n]; o += n
+        theta = st[o : o + n]; o += n
+        vx = st[o : o + n]; o += n
+        vy = st[o : o + n]; o += n
+        w = st[o : o + n]; o += n
+        steps = st[o]; o += 1
+        stopped_steps = st[o]; o += 1
+        shaping = st[o : o + 2]
+
+        # commands: shooter vtheta + kick (|a1| > 0.5 deadzone, signed) +
+        # dribbler; receiver frozen, dribbler always on
+        kick = jnp.where(jnp.abs(act[1]) > 0.5, act[1], 0.0)
+        zero1 = jnp.zeros_like(x[1:])
+        tu = jnp.zeros_like(x)
+        tv = jnp.zeros_like(x)
+        tw = jnp.concatenate([(act[0] * max_w_cmd)[None], zero1], axis=0)
+        kick_vx = jnp.concatenate([(kick * max_kick_x)[None], zero1], axis=0)
+        kick_vz = jnp.zeros_like(kick_vx)
+        dribbler = jnp.concatenate(
+            [(act[2] > 0.0)[None], jnp.ones_like(zero1) > 0.0], axis=0
+        )
+
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+            x, y, theta, vx, vy, w,
+            (bx0, by0, bz0, bvx0, bvy0, bvz0),
+            (tu, tv, tw), kick_vx, kick_vz, dribbler,
+        )
+        bx, by, bz, bvx, bvy, bvz = ball2
+
+        sx, sy = x2[0], y2[0]
+        rx, ry = x2[1], y2[1]
+        received = infrared[1]
+
+        last_d = jnp.sqrt((bx0 - rx) ** 2 + (by0 - ry) ** 2)
+        d = jnp.sqrt((bx - rx) ** 2 + (by - ry) ** 2)
+        ball_grad = jnp.clip(last_d - d, -1.0, 1.0) / ball_grad_scale
+
+        # wrong-ball: integer-centimeter bbox (trunc toward zero is exact
+        # in f32 at field scale) + constant-receiver-distance counter
+        cbx = jnp.trunc(bx * 100.0)
+        cby = jnp.trunc(by * 100.0)
+        csx = jnp.trunc(sx * 100.0)
+        csy = jnp.trunc(sy * 100.0)
+        crx = jnp.trunc(rx * 100.0)
+        cry = jnp.trunc(ry * 100.0)
+        inside = (
+            (jnp.minimum(crx, csx) <= cbx)
+            & (cbx <= jnp.maximum(crx, csx))
+            & (jnp.minimum(cry, csy) <= cby)
+            & (cby <= jnp.maximum(cry, csy))
+        )
+        stopped = jnp.abs(last_d - d) < 0.01
+        stopped_new = jnp.where(stopped, stopped_steps + 1.0, 0.0)
+        wrong = (stopped_new > 20.0) | ~inside
+
+        reward = (
+            jnp.where(received, 1.0, ball_grad) + jnp.where(wrong, -1.0, 0.0)
+        )
+        term = received | wrong
+
+        dist_robs = jnp.sqrt((rx - sx) ** 2 + (ry - sy) ** 2)
+        reversed_dist = (dist_robs - d) / jnp.maximum(dist_robs, 1e-8)
+        ball_grad_acc = shaping[1] + jnp.where(received, 0.0, ball_grad)
+
+        steps_new = steps + 1.0
+        trunc = steps_new >= max_steps
+        done = term | trunc
+
+        shaping_new = jnp.stack([
+            jnp.where(done, reversed_dist, shaping[0]),
+            ball_grad_acc,
+        ])
+
+        # reset (envs/ssl_pass_endurance.reset_state)
+        rbx = -1.5 + ball_u[0] * 3.0
+        rby = -1.5 + ball_u[1] * 3.0
+        factor = jnp.where(rby >= 0.0, 1.0, -1.0)
+        shooter_x = rbx
+        shooter_y = rby + 0.115 * factor
+        shooter_t = jnp.where(factor > 0.0, -jnp.pi / 2, jnp.pi / 2)
+        cand = -1.5 + recv_u * 3.0  # (N_CAND, T)
+        ok = jnp.abs(cand - rbx[None]) >= 1.0
+        seen = jnp.zeros_like(ok[0])
+        any_ok = jnp.zeros_like(ok[0])
+        recv_x = jnp.zeros_like(rbx)
+        for k in range(N_CAND):
+            first_k = ok[k] & ~seen
+            seen = seen | ok[k]
+            any_ok = any_ok | ok[k]
+            recv_x = jnp.where(first_k, cand[k], recv_x)
+        recv_x = jnp.where(any_ok, recv_x, cand[0])
+        recv_y = -rby
+        recv_t = jnp.arctan2(recv_y - shooter_y, recv_x - shooter_x) + jnp.pi
+
+        zero = jnp.zeros_like(reward)
+
+        def sel(rv, v):
+            return jnp.where(done, rv, v)
+
+        bx = sel(rbx, bx)
+        by = sel(rby, by)
+        bz = sel(jnp.full_like(bz, field.ball_radius), bz)
+        bvx = sel(zero, bvx)
+        bvy = sel(zero, bvy)
+        bvz = sel(zero, bvz)
+        x_out = jnp.where(done[None], jnp.stack([shooter_x, recv_x]), x2)
+        y_out = jnp.where(done[None], jnp.stack([shooter_y, recv_y]), y2)
+        t_out = jnp.where(done[None], jnp.stack([shooter_t, recv_t]), theta2)
+        vx_out = jnp.where(done[None], 0.0, vx2)
+        vy_out = jnp.where(done[None], 0.0, vy2)
+        w_out = jnp.where(done[None], 0.0, w2)
+        ir_out = infrared & ~done[None]
+        steps_out = jnp.where(done, 0.0, steps_new)
+        stopped_out = jnp.where(done, 0.0, stopped_new)
+        shaping_out = jnp.where(done[None], 0.0, shaping_new)
+
+        def npos(v):
+            return jnp.clip(v / max_pos, -nbnd, nbnd)
+
+        def nv(v):
+            return jnp.clip(v / max_v, -nbnd, nbnd)
+
+        def nw(v):
+            return jnp.clip(v / max_w_norm, -nbnd, nbnd)
+
+        obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
+        for i in range(n):
+            obs_rows += [
+                npos(x_out[i]), npos(y_out[i]),
+                jnp.sin(t_out[i]), jnp.cos(t_out[i]),
+                nw(w_out[i]),
+                jnp.where(ir_out[i], 1.0, 0.0),
+            ]
+
+        st_out[...] = jnp.concatenate(
+            [
+                jnp.stack([bx, by, bz, bvx, bvy, bvz]),
+                x_out, y_out, t_out, vx_out, vy_out, w_out,
+                steps_out[None],
+                stopped_out[None],
+                shaping_out,
+            ],
+            axis=0,
+        )
+        obs_out[...] = jnp.stack(obs_rows)
+        aux_out[...] = jnp.concatenate(
+            [
+                jnp.stack([
+                    reward,
+                    term.astype(jnp.float32),
+                    trunc.astype(jnp.float32),
+                ]),
+                shaping_new,
+            ],
+            axis=0,
+        )
+
+    return _build_call(
+        compute,
+        S=S, n_act=3, obs_size=obs_size, aux_rows=5,
+        noise_rows=[2, N_CAND],
+        batch=batch, tile=tile, interpret=interpret, rng=rng,
+    )

@@ -41,11 +41,13 @@ def make_pallas_vss_physics(
     n_robots: int,
     batch: int,
     tile: int = 1024,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Build ``step(robots (6,N,B), ball (6,B), commands (2,N,B)) ->
     (robots, ball)`` where robots rows are [x, y, theta, vx, vy, vtheta]
     and ball rows are [x, y, z, vx, vy, vz] (z = center height)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if batch % tile:
         raise ValueError(f"batch {batch} not divisible by tile {tile}")
 

@@ -142,7 +142,7 @@ def make_pallas_vss_full_step(
     env,
     batch: int,
     tile: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
     rng: str = "input",
 ):
     """Build the fused step for a :class:`rsoccer_tpu.envs.vss.VSSEnv`.
@@ -171,6 +171,10 @@ def make_pallas_vss_full_step(
     (``b = i*(B/8) + j``), applied identically to every input/output, so
     semantics are untouched and the reshape is layout-free.
     """
+    if interpret is None:
+        # Mosaic only lowers on TPU; everywhere else interpret mode is the
+        # only way to run the kernel (slow, but correct — used by CPU tests)
+        interpret = jax.default_backend() != "tpu"
     if batch % tile:
         raise ValueError(f"batch {batch} not divisible by tile {tile}")
     if tile % 8:

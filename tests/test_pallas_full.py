@@ -22,14 +22,16 @@ def interp_full(monkeypatch):
     import rsoccer_tpu.ops.pallas_ssl_full as psf
     import rsoccer_tpu.ops.pallas_vss_full as pvf
 
-    monkeypatch.setattr(
-        pvf, "make_pallas_vss_full_step",
-        functools.partial(pvf.make_pallas_vss_full_step, interpret=True),
-    )
-    monkeypatch.setattr(
-        psf, "make_pallas_sd_full_step",
-        functools.partial(psf.make_pallas_sd_full_step, interpret=True),
-    )
+    for mod, name in [
+        (pvf, "make_pallas_vss_full_step"),
+        (psf, "make_pallas_sd_full_step"),
+        (psf, "make_pallas_cp_full_step"),
+        (psf, "make_pallas_dr_full_step"),
+        (psf, "make_pallas_pe_full_step"),
+    ]:
+        monkeypatch.setattr(
+            mod, name, functools.partial(getattr(mod, name), interpret=True)
+        )
 
 
 def _run_pair(
@@ -133,6 +135,68 @@ def test_full_step_matches_through_autoreset(interp_full):
     np.testing.assert_array_equal(
         np.asarray(s_ref.steps), np.asarray(unpacked.steps)
     )
+
+
+_SSL_IDS = [
+    "SSLStaticDefenders-v0",
+    "SSLContestedPossession-v0",
+    "SSLDribbling-v0",
+    "SSLPassEndurance-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", _SSL_IDS)
+def test_ssl_full_step_matches_default(interp_full, env_id):
+    """Each SSL full-step kernel vs the vmapped XLA path."""
+    ref, ful, s_ref, s_ful, outs = _run_pair(n_steps=6, env_id=env_id, seed=5)
+    for t, (r, f) in enumerate(outs):
+        _, o_r, rew_r, te_r, tr_r, i_r = r
+        _, o_f, rew_f, te_f, tr_f, i_f = f
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"{env_id} obs diverged at step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew_r), np.asarray(rew_f), atol=5e-5,
+            err_msg=f"{env_id} reward diverged at step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
+        assert set(i_r) == set(i_f)
+        for k_ in i_r:
+            np.testing.assert_allclose(
+                np.asarray(i_r[k_]), np.asarray(i_f[k_]), atol=5e-5,
+                err_msg=f"{env_id} info[{k_}] diverged at step {t}",
+            )
+    up = ful.unpack_state(s_ful)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.world.robots.x), np.asarray(up.world.robots.x),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.world.ball.x), np.asarray(up.world.ball.x), atol=5e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.steps), np.asarray(up.steps)
+    )
+
+
+@pytest.mark.parametrize("env_id", _SSL_IDS)
+def test_ssl_full_step_matches_through_autoreset(interp_full, env_id):
+    ref, ful, s_ref, s_ful, outs = _run_pair(
+        n_steps=8, env_id=env_id, max_episode_steps=3, seed=11
+    )
+    saw_done = False
+    for t, (r, f) in enumerate(outs):
+        _, o_r, _, te_r, tr_r, _ = r
+        _, o_f, _, te_f, tr_f, _ = f
+        saw_done = saw_done or bool(np.asarray(tr_r).any())
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"{env_id} obs diverged at step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(tr_r), np.asarray(tr_f))
+        np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
+    assert saw_done
 
 
 def test_sd_full_step_matches_default(interp_full):

@@ -35,6 +35,32 @@ def _wrap_angle(t):
     return jnp.mod(t + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _atan2(y, x):
+    """Polynomial atan2 — Mosaic has no atan2 lowering.  Minimax atan on
+    [0,1] + octant reduction; max error ~2e-6 rad, well inside the
+    kernel-vs-XLA equivalence tolerance (5e-5)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    a = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), _EPS)
+    s = a * a
+    r = a * (
+        0.99997726
+        + s
+        * (
+            -0.33262347
+            + s
+            * (
+                0.19354346
+                + s * (-0.11643287 + s * (0.05265332 + s * -0.01172120))
+            )
+        )
+    )
+    r = jnp.where(swap, jnp.pi / 2 - r, r)
+    r = jnp.where(x < 0.0, jnp.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _first_valid(cx, cy, placed, min_d2):
     """First candidate (axis 0) at least sqrt(min_d2) from every placed
     point; falls back to candidate 0 (envs/spawn.pick_first semantics)."""
@@ -1275,14 +1301,14 @@ def make_pallas_pe_full_step(
         d = jnp.sqrt((bx - rx) ** 2 + (by - ry) ** 2)
         ball_grad = jnp.clip(last_d - d, -1.0, 1.0) / ball_grad_scale
 
-        # wrong-ball: integer-centimeter bbox (trunc toward zero is exact
-        # in f32 at field scale) + constant-receiver-distance counter
-        cbx = jnp.trunc(bx * 100.0)
-        cby = jnp.trunc(by * 100.0)
-        csx = jnp.trunc(sx * 100.0)
-        csy = jnp.trunc(sy * 100.0)
-        crx = jnp.trunc(rx * 100.0)
-        cry = jnp.trunc(ry * 100.0)
+        # wrong-ball: integer-centimeter bbox (int32 cast truncates toward
+        # zero like the reference's int(); Mosaic has no trunc lowering)
+        cbx = (bx * 100.0).astype(jnp.int32)
+        cby = (by * 100.0).astype(jnp.int32)
+        csx = (sx * 100.0).astype(jnp.int32)
+        csy = (sy * 100.0).astype(jnp.int32)
+        crx = (rx * 100.0).astype(jnp.int32)
+        cry = (ry * 100.0).astype(jnp.int32)
         inside = (
             (jnp.minimum(crx, csx) <= cbx)
             & (cbx <= jnp.maximum(crx, csx))
@@ -1330,7 +1356,7 @@ def make_pallas_pe_full_step(
             recv_x = jnp.where(first_k, cand[k], recv_x)
         recv_x = jnp.where(any_ok, recv_x, cand[0])
         recv_y = -rby
-        recv_t = jnp.arctan2(recv_y - shooter_y, recv_x - shooter_x) + jnp.pi
+        recv_t = _atan2(recv_y - shooter_y, recv_x - shooter_x) + jnp.pi
 
         zero = jnp.zeros_like(reward)
 

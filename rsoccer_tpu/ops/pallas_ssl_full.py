@@ -333,6 +333,13 @@ def _build_call(
 
         return step_seedless
 
+    if interpret:
+        # pltpu.prng_* has no working CPU interpret path (jax's interpret
+        # lowering trips on the nested closed_call); keep the error clear
+        raise NotImplementedError(
+            "rng='kernel' (in-kernel hardware RNG) requires a TPU backend; "
+            "use rng='input' off-TPU"
+        )
     from jax.experimental.pallas import tpu as pltpu
 
     two24 = 2.0 ** -24

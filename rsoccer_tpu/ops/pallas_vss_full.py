@@ -559,6 +559,13 @@ def make_pallas_vss_full_step(
         return step
 
     # rng == "kernel": hardware PRNG inside the kernel
+    if interpret:
+        # pltpu.prng_* has no working CPU interpret path (jax's interpret
+        # lowering trips on the nested closed_call); keep the error clear
+        raise NotImplementedError(
+            "rng='kernel' (in-kernel hardware RNG) requires a TPU backend; "
+            "use rng='input' off-TPU"
+        )
     from jax.experimental.pallas import tpu as pltpu
 
     n_uni = n_sp + n  # spawn candidate + heading rows

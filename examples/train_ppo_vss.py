@@ -32,11 +32,26 @@ def main():
         "--rng-impl", default="threefry2x32",
         help="PRNG impl for env noise ('rbg' = TPU hardware RNG)",
     )
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument(
+        "--anneal", action="store_true",
+        help="linearly decay lr to 0 over --updates",
+    )
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--rollout-steps", type=int, default=128)
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
-    trainer = PPOTrainer(benv, PPOConfig())
+    cfg = PPOConfig(
+        lr=args.lr,
+        anneal_updates=args.updates if args.anneal else 0,
+        gamma=args.gamma,
+        ent_coef=args.ent_coef,
+        rollout_steps=args.rollout_steps,
+    )
+    trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))
     step = jax.jit(trainer.train_step, donate_argnums=0)
 

@@ -25,13 +25,21 @@ class ActorCritic(nn.Module):
     @nn.compact
     def __call__(self, obs):
         """obs (B, O) -> (mean (B, A), log_std (A,), value (B,))."""
+        # orthogonal init, sqrt(2) hidden / 0.01 policy head / 1.0 value
+        # head — the standard PPO continuous-control recipe (small initial
+        # policy outputs keep early updates near the shaping gradient)
+        hidden_init = nn.initializers.orthogonal(jnp.sqrt(2.0))
         x = obs.astype(self.compute_dtype)
         a = x
         for i, h in enumerate(self.hidden):
-            a = nn.Dense(h, name=f"actor_{i}", dtype=self.compute_dtype)(a)
+            a = nn.Dense(
+                h, name=f"actor_{i}", dtype=self.compute_dtype,
+                kernel_init=hidden_init,
+            )(a)
             a = nn.tanh(a)
         mean = nn.Dense(
-            self.action_size, name="actor_out", dtype=jnp.float32
+            self.action_size, name="actor_out", dtype=jnp.float32,
+            kernel_init=nn.initializers.orthogonal(0.01),
         )(a.astype(jnp.float32))
         log_std = self.param(
             "log_std", nn.initializers.zeros, (self.action_size,)
@@ -39,11 +47,15 @@ class ActorCritic(nn.Module):
 
         v = x
         for i, h in enumerate(self.hidden):
-            v = nn.Dense(h, name=f"critic_{i}", dtype=self.compute_dtype)(v)
+            v = nn.Dense(
+                h, name=f"critic_{i}", dtype=self.compute_dtype,
+                kernel_init=hidden_init,
+            )(v)
             v = nn.tanh(v)
-        value = nn.Dense(1, name="critic_out", dtype=jnp.float32)(
-            v.astype(jnp.float32)
-        )[..., 0]
+        value = nn.Dense(
+            1, name="critic_out", dtype=jnp.float32,
+            kernel_init=nn.initializers.orthogonal(1.0),
+        )(v.astype(jnp.float32))[..., 0]
         return mean, log_std, value
 
 

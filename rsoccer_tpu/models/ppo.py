@@ -37,6 +37,7 @@ class PPOConfig(NamedTuple):
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     lr: float = 3e-4
+    anneal_updates: int = 0  # >0: linear lr decay to 0 over this many updates
     max_grad_norm: float = 0.5
     normalize_obs: bool = True  # running mean/std normalisation
 
@@ -100,9 +101,21 @@ class PPOTrainer:
         self.benv = benv
         self.cfg = config
         self.net = ActorCritic(action_size=benv.action_size)
+        # optax schedules tick per optimiser step; one trainer update runs
+        # num_epochs x num_minibatches of those
+        lr = (
+            optax.linear_schedule(
+                config.lr, 0.0,
+                config.anneal_updates
+                * config.num_epochs
+                * config.num_minibatches,
+            )
+            if config.anneal_updates > 0
+            else config.lr
+        )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr),
+            optax.adam(lr),
         )
 
     # ------------------------------------------------------------------

@@ -33,15 +33,17 @@ def main():
     benv = BatchedEnv(env, args.envs)
     trainer = PPOTrainer(benv)
 
+    init_state = trainer.init(jax.random.PRNGKey(0))
     if args.params:
-        init_state = trainer.init(jax.random.PRNGKey(0))
-        params = checkpoint.restore(args.params, like=init_state.params)
-        params = jax.tree.map(jax.numpy.asarray, params)
+        like = {"params": init_state.params, "obs_norm": init_state.obs_norm}
+        ckpt = checkpoint.restore(args.params, like=like)
+        ckpt = jax.tree.map(jax.numpy.asarray, ckpt)
+        params, obs_norm = ckpt["params"], ckpt["obs_norm"]
     else:
         print("no --params given; evaluating a freshly initialised policy")
-        params = trainer.init(jax.random.PRNGKey(0)).params
+        params, obs_norm = init_state.params, init_state.obs_norm
 
-    policy = trainer.make_policy(params, deterministic=True)
+    policy = trainer.make_policy(params, obs_norm=obs_norm, deterministic=True)
     from rsoccer_tpu.eval import make_eval_fn, success_criterion
 
     ev = jax.jit(

@@ -53,16 +53,18 @@ def main():
     eval_env = SelfPlayBatchedEnv(env, args.eval_envs, net, init_params)
     success = E.success_criterion("VSSSelfPlay-v0")
 
-    def run_eval(params, obs_norm, payload, seed):
+    # ONE jitted evaluator taking params/payload as arguments — rebuilding
+    # make_eval_fn per swap would recompile the whole eval scan each time
+    # (minutes on a remote-compile TPU)
+    @jax.jit
+    def run_eval(params, obs_norm, payload, key):
         """Deterministic learner vs the given frozen opponent payload."""
         policy = trainer.make_policy(params, obs_norm=obs_norm)
         swap = lambda c: c._replace(state=(c.state[0], payload))
-        ev = jax.jit(
-            E.make_eval_fn(
-                eval_env, args.eval_steps, policy, success, carry_init=swap
-            )
+        ev = E.make_eval_fn(
+            eval_env, args.eval_steps, policy, success, carry_init=swap
         )
-        return ev(jax.random.PRNGKey(10_000 + seed))
+        return ev(key)
 
     history = []
     opp_payload = eval_env.payload_from(init_params)
@@ -70,7 +72,10 @@ def main():
     for u in range(1, args.updates + 1):
         state, metrics = train(state, jax.random.PRNGKey(1000 + u))
         if u % args.swap_every == 0:
-            ms = run_eval(state.params, state.obs_norm, opp_payload, seed=u)
+            ms = run_eval(
+                state.params, state.obs_norm, opp_payload,
+                jax.random.PRNGKey(10_000 + u),
+            )
             wr = float(ms.success_rate)  # goal rate vs the frozen opponent
             print(
                 f"update {u:4d}  reward/step={float(metrics['mean_reward']):+.4f}  "

@@ -70,8 +70,12 @@ def main():
         )
 
     if args.save:
-        checkpoint.save(args.save, state.params)
-        print(f"saved params to {args.save}")
+        # the obs normaliser is part of the policy: evaluating the params
+        # without it feeds the network unnormalised observations
+        checkpoint.save(
+            args.save, {"params": state.params, "obs_norm": state.obs_norm}
+        )
+        print(f"saved params+obs_norm to {args.save}")
 
 
 if __name__ == "__main__":

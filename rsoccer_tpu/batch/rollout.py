@@ -64,6 +64,35 @@ def uniform_policy(action_size: int):
     return policy
 
 
+def make_step_fn(benv: BatchedEnv, policy: Callable, metrics_fn: Callable):
+    """Shared scan body for rollout/eval drivers.
+
+    ``metrics_fn(reward, done, ep_ret, ep_len, info)`` computes the
+    per-step metrics pytree from the PRE-reset episode accumulators; the
+    carry's accumulators are zeroed on done lanes afterwards.
+    """
+
+    def one_step(carry: RolloutCarry, _):
+        step_key, next_key = jax.random.split(carry.key)
+        pol_key, next_pol = jax.random.split(carry.pol_key)
+        actions = policy(pol_key, carry.obs)
+        state, obs, reward, term, trunc, info = benv.step(
+            carry.state, actions, step_key
+        )
+        done = term | trunc
+        ep_ret = carry.ep_return + reward
+        ep_len = carry.ep_length + 1.0
+        metrics = metrics_fn(reward, done, ep_ret, ep_len, info)
+        ep_ret = jnp.where(done, 0.0, ep_ret)
+        ep_len = jnp.where(done, 0.0, ep_len)
+        return (
+            RolloutCarry(state, obs, next_key, next_pol, ep_ret, ep_len),
+            metrics,
+        )
+
+    return one_step
+
+
 def make_rollout_fn(
     benv: BatchedEnv,
     n_steps: int,
@@ -79,28 +108,15 @@ def make_rollout_fn(
     if policy is None:
         policy = uniform_policy(benv.action_size)
 
-    def one_step(carry: RolloutCarry, _):
-        step_key, next_key = jax.random.split(carry.key)
-        pol_key, next_pol = jax.random.split(carry.pol_key)
-        actions = policy(pol_key, carry.obs)
-        state, obs, reward, term, trunc, info = benv.step(
-            carry.state, actions, step_key
-        )
-        done = term | trunc
-        ep_ret = carry.ep_return + reward
-        ep_len = carry.ep_length + 1.0
-        metrics = RolloutMetrics(
+    def metrics_fn(reward, done, ep_ret, ep_len, info):
+        return RolloutMetrics(
             total_reward=jnp.sum(reward),
             episodes=jnp.sum(done.astype(jnp.int32)),
             episode_return_sum=jnp.sum(jnp.where(done, ep_ret, 0.0)),
             episode_length_sum=jnp.sum(jnp.where(done, ep_len, 0.0)),
         )
-        ep_ret = jnp.where(done, 0.0, ep_ret)
-        ep_len = jnp.where(done, 0.0, ep_len)
-        return (
-            RolloutCarry(state, obs, next_key, next_pol, ep_ret, ep_len),
-            metrics,
-        )
+
+    one_step = make_step_fn(benv, policy, metrics_fn)
 
     def rollout(carry: RolloutCarry):
         carry, ms = jax.lax.scan(one_step, carry, None, length=n_steps, unroll=unroll)

@@ -40,13 +40,16 @@ class BatchedEnv:
     Pallas kernel (ops/pallas_vss.py): task logic stays vmapped, the
     dynamics run as one kernel launch per batch tile.
 
-    ``pallas_full=True`` (VSS only) goes further: the ENTIRE step — OU
-    noise, command conversion, physics, reward/termination, spawn reset and
-    observation build — runs as ONE kernel launch per batch tile
-    (ops/pallas_vss_full.py), and the env state flows through the rollout
-    in kernel layout (a single ``(S, B)`` tensor), so there is no per-step
-    pack/unpack at all.  The state returned by :meth:`reset`/:meth:`step`
-    is that packed tensor; use :meth:`unpack_state` for a structured view.
+    ``pallas_full=True`` (all five reference tasks) goes further: the
+    ENTIRE step — noise, command conversion, physics, reward/termination,
+    spawn reset and observation build — runs as ONE kernel launch per batch
+    tile (ops/pallas_vss_full.py, ops/pallas_ssl_full.py), and the env
+    state flows through the rollout in kernel layout (a single ``(S, B)``
+    tensor), so there is no per-step pack/unpack at all.  The state
+    returned by :meth:`reset`/:meth:`step` is that packed tensor; use
+    :meth:`unpack_state` for a structured view.  ``pallas_rng="kernel"``
+    additionally draws all noise inside the kernel with the TPU hardware
+    PRNG (TPU only; the fastest path).
     """
 
     def __init__(
@@ -79,8 +82,13 @@ class BatchedEnv:
         )
         self._pallas = None
         self._full = None
+        # largest tile that divides the batch and is <= the requested tile
+        # (math.gcd), so e.g. n_envs=3072 works with the 2048 default
+        import math
+
+        tile = math.gcd(n_envs, pallas_tile)
         if pallas_physics:
-            self._pallas = _build_pallas_vss(env, n_envs, pallas_tile)
+            self._pallas = _build_pallas_vss(env, n_envs, tile)
             self._pre_v = jax.vmap(env.pre_physics, in_axes=-1, out_axes=-1)
             self._post_v = jax.vmap(env.post_physics, in_axes=-1, out_axes=-1)
             self._reset_state_v = jax.vmap(
@@ -90,7 +98,7 @@ class BatchedEnv:
             self._observe_v = jax.vmap(env.observe, in_axes=-1, out_axes=-1)
         if pallas_full:
             self._full_rng = pallas_rng
-            self._init_full(env, n_envs, min(pallas_tile, n_envs), pallas_rng)
+            self._init_full(env, n_envs, tile, pallas_rng)
 
     def _init_full(self, env, n_envs, tile, rng):
         """Dispatch the full-step kernel builder by exact env type (task
@@ -217,10 +225,11 @@ class BatchedEnv:
         import jax.numpy as jnp
 
         if self._full_rng == "kernel":
-            # the kernel draws all noise itself; derive its per-step seed
-            # from the key so fixed-key rollouts stay reproducible
+            # the kernel draws all noise itself; derive a 64-bit per-step
+            # seed (two words) from the key so fixed-key rollouts stay
+            # reproducible and step streams never collide
             seed = jax.lax.bitcast_convert_type(
-                jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+                jax.random.bits(key, (2,), jnp.uint32), jnp.int32
             )
             st, obs, aux = self._full(state, actions, seed)
         else:
@@ -263,6 +272,12 @@ class BatchedEnv:
         """Auto-resetting step that also returns the final pre-reset obs
         (gymnasium same-step autoreset convention).  Returns
         (state, obs, final_obs, reward, term, trunc, info)."""
+        if self._full is not None:
+            raise NotImplementedError(
+                "step_final is not available with pallas_full: the fused "
+                "kernel applies auto-reset in-kernel and does not surface "
+                "the pre-reset observation"
+            )
         kt, kr = jax.random.split(key)
         t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
         r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
@@ -270,6 +285,12 @@ class BatchedEnv:
 
     def step_env(self, state, actions, key):
         """Raw step without auto-reset/truncation."""
+        if self._full is not None:
+            raise NotImplementedError(
+                "step_env is not available with pallas_full: the fused "
+                "kernel steps task logic and auto-reset as one program; "
+                "use step(), or unpack_state() for structured views"
+            )
         t_noise = draw_noise(key, self._t_spec, batch=self.n_envs)
         return self._step_env_v(state, actions, t_noise)
 

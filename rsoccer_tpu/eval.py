@@ -110,30 +110,17 @@ def make_eval_fn(
     e.g. self-play swaps a specific frozen-opponent payload into the env
     state before the scan."""
 
-    def one_step(carry: R.RolloutCarry, _):
-        step_key, next_key = jax.random.split(carry.key)
-        pol_key, next_pol = jax.random.split(carry.pol_key)
-        actions = policy(pol_key, carry.obs)
-        state, obs, reward, term, trunc, info = benv.step(
-            carry.state, actions, step_key
-        )
-        done = term | trunc
-        ep_ret = carry.ep_return + reward
-        ep_len = carry.ep_length + 1.0
+    def metrics_fn(reward, done, ep_ret, ep_len, info):
         won = done & success(reward, ep_ret, info)
-        metrics = EvalMetrics(
+        return EvalMetrics(
             episodes=jnp.sum(done.astype(jnp.int32)),
             successes=jnp.sum(won.astype(jnp.int32)),
             total_reward=jnp.sum(reward),
             episode_return_sum=jnp.sum(jnp.where(done, ep_ret, 0.0)),
             episode_length_sum=jnp.sum(jnp.where(done, ep_len, 0.0)),
         )
-        ep_ret = jnp.where(done, 0.0, ep_ret)
-        ep_len = jnp.where(done, 0.0, ep_len)
-        return (
-            R.RolloutCarry(state, obs, next_key, next_pol, ep_ret, ep_len),
-            metrics,
-        )
+
+    one_step = R.make_step_fn(benv, policy, metrics_fn)
 
     def evaluate(key) -> EvalMetrics:
         carry = R.init_carry(benv, key)

@@ -345,7 +345,9 @@ def _build_call(
     two24 = 2.0 ** -24
 
     def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # both key words + tile id hashed together (see
+        # ops/pallas_vss_full.py kernel_rng for the collision rationale)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits((n_uni, 8, tl)), jnp.uint32)
         # via int32: Mosaic has no u32 -> f32 lowering; 24-bit value is safe
         uni = (
@@ -403,54 +405,10 @@ def pack_sd_state(state) -> jnp.ndarray:
 
 
 def unpack_sd_state(arr: jnp.ndarray, env):
-    """(S, B) -> batched SDState.  infrared recomputed for robot 0 (the
-    only consumer is the observation, which the kernel already built);
-    achieved wheel speeds via the forward jacobian, as physics/ssl.py."""
+    """(S, B) -> batched SDState (see :func:`_unpack_world`)."""
     from rsoccer_tpu.envs.ssl_static_defenders import SDState
 
-    n = env.n_robots
-    o = 6
-    x = arr[o : o + n]; o += n
-    y = arr[o : o + n]; o += n
-    theta = arr[o : o + n]; o += n
-    vx = arr[o : o + n]; o += n
-    vy = arr[o : o + n]; o += n
-    vth = arr[o : o + n]; o += n
-    steps = arr[o].astype(jnp.int32); o += 1
-    shaping = arr[o : o + 8]
-
-    J = wheel_jacobian(env.field)  # (4,3)
-    cos_t = jnp.cos(theta)
-    sin_t = jnp.sin(theta)
-    u = vx * cos_t + vy * sin_t
-    s = -vx * sin_t + vy * cos_t
-    local = jnp.stack([u, s, vth], axis=1)  # (N, 3, B)
-    v_wheel = jnp.einsum("wk,nkb->nwb", jnp.asarray(J), local) / env.field.rbt_wheel_radius
-
-    # infrared from the kicker-contact predicate (same as physics/ssl.py)
-    f = env.field
-    dx = arr[0][None] - x
-    dy = arr[1][None] - y
-    lx = dx * cos_t + dy * sin_t
-    ly = -dx * sin_t + dy * cos_t
-    lo = f.rbt_distance_center_kicker - f.rbt_kicker_thickness - f.ball_radius
-    from rsoccer_tpu.physics.config import SSL_PHYSICS
-
-    hi = f.rbt_distance_center_kicker + f.ball_radius + SSL_PHYSICS.kicker_depth_slack
-    low = (arr[2][None] - f.ball_radius) <= SSL_PHYSICS.kicker_height
-    infrared = (
-        (lx >= lo) & (lx <= hi) & (jnp.abs(ly) <= f.rbt_kicker_width / 2) & low
-    )
-
-    world = WorldState(
-        ball=BallState(
-            x=arr[0], y=arr[1], z=arr[2], v_x=arr[3], v_y=arr[4], v_z=arr[5]
-        ),
-        robots=RobotsState(
-            x=x, y=y, theta=theta, v_x=vx, v_y=vy, v_theta=vth,
-            infrared=infrared, v_wheel=v_wheel,
-        ),
-    )
+    world, steps, shaping = _unpack_world(arr, env, n_extra=8)
     return SDState(world=world, steps=steps, shaping=shaping)
 
 
@@ -737,8 +695,12 @@ def unpack_cp_state(arr: jnp.ndarray, env):
 
 
 def _unpack_world(arr, env, n_extra):
-    """Shared ball/robots/steps unpack (same reconstruction as
-    unpack_sd_state); returns (world, steps, extra_rows)."""
+    """Shared ball/robots/steps unpack; returns (world, steps, extra_rows).
+
+    infrared is recomputed from the kicker-contact predicate and achieved
+    wheel speeds via the forward jacobian, both as physics/ssl.py — the
+    kernel state stores neither (the obs the kernel built already consumed
+    them)."""
     n = env.n_robots
     o = 6
     x = arr[o : o + n]; o += n
@@ -1339,8 +1301,10 @@ def make_pallas_pe_full_step(
         trunc = steps_new >= max_steps
         done = term | trunc
 
+        # reversed_dist written on TERMINATED steps only (received|wrong),
+        # not on TimeLimit truncation — envs/ssl_pass_endurance.py:175-184
         shaping_new = jnp.stack([
-            jnp.where(done, reversed_dist, shaping[0]),
+            jnp.where(term, reversed_dist, shaping[0]),
             ball_grad_acc,
         ])
 

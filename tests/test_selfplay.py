@@ -74,8 +74,15 @@ def test_selfplay_batched_env_step_and_opponent_effect():
     env = _env()
     net = ActorCritic(action_size=6)
     k = jax.random.PRNGKey(0)
-    p1 = net.init(k, jnp.zeros((1, 40)))
-    p2 = net.init(jax.random.PRNGKey(99), jnp.zeros((1, 40)))
+
+    def amplify(p):
+        # the policy head is orthogonal(0.01)-initialised, so fresh nets
+        # emit near-zero means that fall inside VSS's 0.05 m/s wheel
+        # deadzone — amplify so the two opponents actually act
+        return jax.tree.map(lambda x: x * 100.0, p)
+
+    p1 = amplify(net.init(k, jnp.zeros((1, 40))))
+    p2 = amplify(net.init(jax.random.PRNGKey(99), jnp.zeros((1, 40))))
     benv = SelfPlayBatchedEnv(env, 8, net, p1)
     assert benv.action_size == 6
 

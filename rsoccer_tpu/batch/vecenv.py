@@ -65,6 +65,14 @@ class BatchedEnv:
         self.n_envs = n_envs
         self.obs_size = env.obs_size
         self.action_size = env.action_size
+        # constructor mode, so wrappers (e.g. the shard_map rollout's
+        # per-device env) can rebuild at a different batch size
+        self.mode = dict(
+            pallas_physics=pallas_physics,
+            pallas_full=pallas_full,
+            pallas_tile=pallas_tile,
+            pallas_rng=pallas_rng,
+        )
         self._t_spec = env.transition_noise_spec()
         self._r_spec = env.reset_noise_spec()
         if pallas_full and pallas_physics:

@@ -67,8 +67,9 @@ def make_shard_map_rollout(
         raise ValueError(
             f"n_envs={benv.n_envs} not divisible by mesh size {n_dev}"
         )
-    # inside shard_map each device sees only its local slice of the batch
-    local_benv = BatchedEnv(benv.env, benv.n_envs // n_dev)
+    # inside shard_map each device sees only its local slice of the batch;
+    # keep the pallas mode so the full-step kernel path shards too
+    local_benv = BatchedEnv(benv.env, benv.n_envs // n_dev, **benv.mode)
     rollout = make_rollout_fn(local_benv, n_steps, policy=policy, unroll=unroll)
 
     def batch_spec(tree):

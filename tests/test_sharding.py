@@ -92,3 +92,37 @@ def test_shard_map_rollout(eight_devices):
     np.testing.assert_allclose(
         float(ms.total_reward), float(ms_b.total_reward), rtol=1e-6
     )
+
+
+def test_shard_map_rollout_pallas_full(eight_devices, monkeypatch):
+    """The production combination: full-step kernel + explicit-SPMD mesh.
+
+    Each device runs the fused kernel on its local shard (interpret mode on
+    CPU); make_shard_map_rollout must propagate the pallas mode into the
+    per-device env it builds."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import rsoccer_tpu.ops.pallas_vss_full as pvf
+    from rsoccer_tpu.parallel.rollout import make_shard_map_rollout
+
+    monkeypatch.setattr(
+        pvf, "make_pallas_vss_full_step",
+        functools.partial(pvf.make_pallas_vss_full_step, interpret=True),
+    )
+
+    env = rsoccer_tpu.make("VSS-v0")
+    B = 64
+    benv = BatchedEnv(env, B, pallas_full=True, pallas_tile=8)
+    mesh = M.make_env_mesh(8)
+    roll = make_shard_map_rollout(benv, mesh, n_steps=6)
+    carry = shard_carry(R.init_carry(benv, jax.random.PRNGKey(0)), mesh)
+    with mesh:
+        carry2, ms = jax.jit(roll)(carry)
+    assert np.isfinite(float(ms.total_reward))
+    assert len(carry2.obs.sharding.device_set) == 8
+    # packed kernel-layout state (S, B) stayed sharded on the batch axis
+    assert carry2.state.ndim == 2 and carry2.state.shape[1] == B
+    assert len(carry2.state.sharding.device_set) == 8
+    assert bool(jnp.isfinite(carry2.state).all())

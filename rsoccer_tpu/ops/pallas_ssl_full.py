@@ -345,9 +345,10 @@ def _build_call(
     two24 = 2.0 ** -24
 
     def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
-        # both key words + tile id hashed together (see
-        # ops/pallas_vss_full.py kernel_rng for the collision rationale)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        # both key words hashed, tile id folded into the first (see
+        # ops/pallas_vss_full.py kernel_rng for the collision rationale
+        # and the two-operand compiler constraint)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
         bits = pltpu.bitcast(pltpu.prng_random_bits((n_uni, 8, tl)), jnp.uint32)
         # via int32: Mosaic has no u32 -> f32 lowering; 24-bit value is safe
         uni = (

@@ -575,11 +575,13 @@ def make_pallas_vss_full_step(
 
     def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
         # distinct stream per step and per tile: both 32-bit words of the
-        # step key plus the tile id are hashed together by prng_seed.
-        # (A single added word, seed+program_id, had a birthday-bound
-        # collision across steps: two step seeds closer than the grid size
-        # replay a whole tile's noise block.)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+        # step key are hashed, with the tile id folded into the first.
+        # (A single 32-bit word + program_id had a birthday-bound collision
+        # across steps — two step seeds closer than the grid size replay a
+        # whole tile's noise block; a full 64-bit key makes that
+        # negligible.  Exactly TWO operands: three crash this Mosaic
+        # version's compiler.)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
         )

@@ -24,13 +24,19 @@ def main():
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--env-id", default="VSS-v0")
     p.add_argument("--save", default="")
+    p.add_argument("--reward-scale", type=float, default=1.0)
+    p.add_argument("--target-entropy-scale", type=float, default=1.0)
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
     trainer = SACTrainer(
         benv,
-        SACConfig(batch_size=512, warmup_steps=50, grad_steps_per_iter=2),
+        SACConfig(
+            batch_size=512, warmup_steps=50, grad_steps_per_iter=2,
+            reward_scale=args.reward_scale,
+            target_entropy_scale=args.target_entropy_scale,
+        ),
     )
     state = trainer.init(jax.random.PRNGKey(0))
     step = jax.jit(trainer.train_step, donate_argnums=0)

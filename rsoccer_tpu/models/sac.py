@@ -30,6 +30,9 @@ class SACConfig(NamedTuple):
     init_alpha: float = 0.1
     target_entropy_scale: float = 1.0  # target entropy = -scale * act_dim
     warmup_steps: int = 1000  # uniform-random actions before learning
+    reward_scale: float = 1.0  # Q-target scale: lift tiny shaped rewards
+    # above entropy-term noise (the standard SAC knob for tasks whose
+    # per-step rewards are ~1e-2, e.g. the SSL shaping cascades)
 
 
 class SquashedGaussianActor(nn.Module):
@@ -212,7 +215,7 @@ class SACTrainer:
         tq1 = self.q.apply(state.q1_target, next_obs, next_a)
         tq2 = self.q.apply(state.q2_target, next_obs, next_a)
         target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
-        target_q = reward + cfg.gamma * (1.0 - done) * target_v
+        target_q = cfg.reward_scale * reward + cfg.gamma * (1.0 - done) * target_v
         target_q = jax.lax.stop_gradient(target_q)
 
         def q_loss(params):

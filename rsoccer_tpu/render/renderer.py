@@ -40,8 +40,12 @@ class RenderGeometry:
 
     @property
     def screen_size(self):
-        w = int((self.length + 2 * self.margin) * self.scale)
-        h = int((self.width + 2 * self.margin) * self.scale)
+        # Scale each term before summing — the reference transforms params
+        # individually (field.py:33-42,204-210), and the association order
+        # matters at float precision (9.0*100 + 2*(0.35*100) = 970.0 but
+        # (9.0 + 0.7)*100 = 969.99…).
+        w = int(self.length * self.scale + 2 * (self.margin * self.scale))
+        h = int(self.width * self.scale + 2 * (self.margin * self.scale))
         return (w, h)
 
     @property

@@ -12,6 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from rsoccer_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import rsoccer_tpu
 from rsoccer_tpu.batch import rollout as R
 from rsoccer_tpu.batch.vecenv import BatchedEnv

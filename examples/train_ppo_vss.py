@@ -44,6 +44,7 @@ def main():
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--rollout-steps", type=int, default=128)
+    p.add_argument("--gae-lambda", type=float, default=0.95)
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
@@ -54,6 +55,7 @@ def main():
         gamma=args.gamma,
         ent_coef=args.ent_coef,
         rollout_steps=args.rollout_steps,
+        gae_lambda=args.gae_lambda,
     )
     trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))

@@ -77,6 +77,11 @@ class BatchedEnv:
         self._r_spec = env.reset_noise_spec()
         if pallas_full and pallas_physics:
             raise ValueError("pallas_full subsumes pallas_physics; pick one")
+        if pallas_full and getattr(env, "curriculum", False):
+            raise ValueError(
+                "the full-step kernel implements the reference's deterministic "
+                "reset; curriculum resets run on the XLA path (pallas_full=False)"
+            )
 
         self._reset_v = jax.vmap(
             lambda noise: _reset_obs(env, noise), in_axes=-1, out_axes=-1

@@ -248,6 +248,72 @@ class TestDribbling:
 # --------------------------------------------------------------------------
 
 
+class TestDribblingCurriculum:
+    """Training-time curriculum extension (envs/ssl_dribbling.py, kwarg
+    ``curriculum=True``) — NOT reference behavior; the default env keeps the
+    reference's deterministic reset (covered above)."""
+
+    @pytest.fixture(scope="class")
+    def env(self):
+        return rsoccer_tpu.make("SSLDribbling-v0", curriculum=True)
+
+    def test_stage_consistent_spawns(self, env):
+        from rsoccer_tpu.envs.ssl_dribbling import NODES
+
+        seen = set()
+        for seed in range(64):
+            state, obs = env.reset(jax.random.PRNGKey(seed))
+            s = int(state.checkpoints)
+            seen.add(s)
+            assert 0 <= s <= 6
+            # obs head encodes the stage: (s/6)*2 - 1
+            np.testing.assert_allclose(float(obs[0]), (s / 6) * 2 - 1, atol=1e-6)
+            bx, by = float(state.world.ball.x), float(state.world.ball.y)
+            if s == 0:
+                np.testing.assert_allclose([bx, by], [-0.1, 0.0], atol=1e-6)
+                continue
+            # ball y-side must match the NEXT expected crossing direction:
+            # odd count -> must cross upward next (ball below axis), even ->
+            # downward (above axis)
+            assert (by < 0) == (s % 2 == 1), (s, by)
+            # spawns never overlap the on-axis yellows (sum of radii 0.18)
+            for node in NODES:
+                rx = float(state.world.robots.x[0])
+                ry = float(state.world.robots.y[0])
+                assert (rx - node) ** 2 + ry**2 > 0.18**2
+        assert seen == set(range(7)), f"stages not all sampled: {seen}"
+
+    def test_stage_spawn_can_cross_next_gate(self, env):
+        # from an odd stage, pushing the ball straight up crosses the gate
+        for seed in range(40):
+            state, _ = env.reset(jax.random.PRNGKey(seed))
+            s = int(state.checkpoints)
+            if s % 2 == 0 or s < 2:
+                continue
+            state = place_ball(
+                state, float(state.world.ball.x), float(state.world.ball.y), 0.0, 2.0
+            )
+            got = 0.0
+            for t in range(40):
+                state, _, r, term, trunc, _ = env.step(
+                    state, jnp.zeros(env.action_size), jax.random.PRNGKey(t)
+                )
+                got += float(r)
+                if float(term) or float(trunc):
+                    break
+            # crossing from an odd stage in-window yields exactly the +1
+            if -2.0 > float(state.world.ball.x) > -3.0:
+                assert got >= 1.0
+            return
+        raise AssertionError("no odd stage sampled in 40 seeds")
+
+    def test_full_kernel_rejects_curriculum(self, env):
+        from rsoccer_tpu.batch.vecenv import BatchedEnv
+
+        with pytest.raises(ValueError, match="curriculum"):
+            BatchedEnv(env, 64, pallas_full=True)
+
+
 class TestContestedPossession:
     @pytest.fixture(scope="class")
     def env(self):

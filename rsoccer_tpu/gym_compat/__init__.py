@@ -63,6 +63,10 @@ class GymnasiumEnv(gym.Env):
 
     # -- gymnasium API ------------------------------------------------------
     def reset(self, *, seed: Optional[int] = None, options=None):
+        # seed gymnasium's np_random too (conformance: check_env expects
+        # super().reset(seed=...) semantics); actual env randomness flows
+        # through the jax PRNG key below
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, k = jax.random.split(self._key)

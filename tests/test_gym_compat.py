@@ -161,3 +161,22 @@ def test_vector_env_same_step_autoreset_convention():
             assert "final_obs" not in infos
     assert saw_final  # horizon 3 must truncate within 5 steps
     venv.close()
+
+
+def test_gymnasium_official_env_checker():
+    """gymnasium's own conformance checker passes on every registered id.
+
+    The reference never ran this (its one test is the KD-tree unit test,
+    Utils/kdtree_test.py); its envs would fail the determinism probe because
+    spawn randomness bypasses the seeded np_random (vss_gym.py:199-206 uses
+    the global `random` module).
+    """
+    import gymnasium as gym
+    from gymnasium.utils.env_checker import check_env
+
+    from rsoccer_tpu.registry import registered_ids
+
+    for env_id in registered_ids():
+        env = gym.make(env_id)
+        check_env(env.unwrapped, skip_render_check=True)
+        env.close()

@@ -27,8 +27,9 @@ def main():
     p.add_argument("--env-id", default="VSS-v0")
     p.add_argument("--out", default="/tmp/rsoccer_trace")
     p.add_argument(
-        "--pallas", default="0", choices=["0", "1", "full"],
-        help="0: XLA path, 1: pallas physics kernel, full: full-step kernel",
+        "--pallas", default="0", choices=["0", "1", "full", "full-krng"],
+        help="0: XLA path, 1: pallas physics kernel, full: full-step kernel, "
+        "full-krng: full-step kernel with in-kernel hardware RNG (TPU only)",
     )
     args = p.parse_args()
 
@@ -40,7 +41,8 @@ def main():
     benv = BatchedEnv(
         env, args.envs,
         pallas_physics=args.pallas == "1",
-        pallas_full=args.pallas == "full",
+        pallas_full=args.pallas.startswith("full"),
+        pallas_rng="kernel" if args.pallas == "full-krng" else "input",
     )
     roll = jax.jit(R.make_rollout_fn(benv, args.steps, unroll=1))
     carry = R.init_carry(benv, jax.random.PRNGKey(0))

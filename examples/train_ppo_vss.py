@@ -45,9 +45,15 @@ def main():
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--rollout-steps", type=int, default=128)
     p.add_argument("--gae-lambda", type=float, default=0.95)
+    p.add_argument(
+        "--env-kwargs", default="{}",
+        help='JSON kwargs for the env ctor, e.g. \'{"curriculum": true}\'',
+    )
     args = p.parse_args()
 
-    env = rsoccer_tpu.make(args.env_id)
+    import json
+
+    env = rsoccer_tpu.make(args.env_id, **json.loads(args.env_kwargs))
     benv = BatchedEnv(env, args.envs)
     cfg = PPOConfig(
         lr=args.lr,

@@ -31,23 +31,41 @@ def main():
     p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--params", default="")
     p.add_argument("--gif", default="")
+    p.add_argument(
+        "--algo", default="ppo", choices=["ppo", "sac"],
+        help="checkpoint format: ppo = {params, obs_norm} "
+        "(train_ppo_vss.py), sac = actor params (train_sac_vss.py)",
+    )
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
-    trainer = PPOTrainer(benv)
 
-    init_state = trainer.init(jax.random.PRNGKey(0))
-    if args.params:
-        like = {"params": init_state.params, "obs_norm": init_state.obs_norm}
-        ckpt = checkpoint.restore(args.params, like=like)
-        ckpt = jax.tree.map(jax.numpy.asarray, ckpt)
-        params, obs_norm = ckpt["params"], ckpt["obs_norm"]
+    if args.algo == "sac":
+        from rsoccer_tpu.models.sac import SACTrainer
+
+        trainer = SACTrainer(benv)
+        init_state = trainer.init(jax.random.PRNGKey(0))
+        actor_params = init_state.actor_params
+        if args.params:
+            actor_params = jax.tree.map(
+                jax.numpy.asarray, checkpoint.restore(args.params, like=actor_params)
+            )
+        else:
+            print("no --params given; evaluating a freshly initialised policy")
+        policy = trainer.make_policy(actor_params, deterministic=True)
     else:
-        print("no --params given; evaluating a freshly initialised policy")
-        params, obs_norm = init_state.params, init_state.obs_norm
-
-    policy = trainer.make_policy(params, obs_norm=obs_norm, deterministic=True)
+        trainer = PPOTrainer(benv)
+        init_state = trainer.init(jax.random.PRNGKey(0))
+        if args.params:
+            like = {"params": init_state.params, "obs_norm": init_state.obs_norm}
+            ckpt = checkpoint.restore(args.params, like=like)
+            ckpt = jax.tree.map(jax.numpy.asarray, ckpt)
+            params, obs_norm = ckpt["params"], ckpt["obs_norm"]
+        else:
+            print("no --params given; evaluating a freshly initialised policy")
+            params, obs_norm = init_state.params, init_state.obs_norm
+        policy = trainer.make_policy(params, obs_norm=obs_norm, deterministic=True)
     from rsoccer_tpu.eval import make_eval_fn, success_criterion
 
     ev = jax.jit(

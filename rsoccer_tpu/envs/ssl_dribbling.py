@@ -166,6 +166,21 @@ class SSLDribblingEnv(SSLTaskBase):
         completed = ~rbt_out & cross_even & (new_count == 7)
 
         reward = jnp.where(crossed, 1.0, 0.0)
+        if self.curriculum:
+            # Training-time potential shaping toward the NEXT gate the
+            # automaton expects (target fixed at the step's incoming count,
+            # so a crossing is never penalised by the target switching):
+            # progress at <= v_max*dt = 0.0625 m/step, weighted 0.5 ->
+            # <= 0.03/step against the +1 gate reward.  Curriculum-only;
+            # the default env's reward is the reference's exact +1-per-gate.
+            tx = jnp.asarray([-0.75, -1.25, -1.75, -2.50, -1.75, -2.50, -1.75, -1.75])
+            ty = jnp.asarray([-0.10, 0.10, -0.10, 0.10, -0.10, 0.10, -0.10, -0.10])
+            onehot = jnp.arange(8) == count
+            gx = jnp.sum(jnp.where(onehot, tx, 0.0))
+            gy = jnp.sum(jnp.where(onehot, ty, 0.0))
+            d_new = jnp.hypot(bx - gx, by - gy)
+            d_old = jnp.hypot(state.world.ball.x - gx, state.world.ball.y - gy)
+            reward = reward + 0.5 * (d_old - d_new)
         done = collision | rbt_out | reversed_gate | completed
 
         ns = DribblingState(

@@ -298,12 +298,13 @@ class TestDribblingCurriculum:
                 state, _, r, term, trunc, _ = env.step(
                     state, jnp.zeros(env.action_size), jax.random.PRNGKey(t)
                 )
-                got += float(r)
+                # the crossing step pays the +1 (plus curriculum shaping
+                # bounded by 0.5 * v_max * dt ~ 0.03)
+                got = max(got, float(r))
                 if float(term) or float(trunc):
                     break
-            # crossing from an odd stage in-window yields exactly the +1
             if -2.0 > float(state.world.ball.x) > -3.0:
-                assert got >= 1.0
+                assert got >= 0.9
             return
         raise AssertionError("no odd stage sampled in 40 seeds")
 

@@ -168,18 +168,39 @@ class SSLDribblingEnv(SSLTaskBase):
         reward = jnp.where(crossed, 1.0, 0.0)
         if self.curriculum:
             # Training-time potential shaping toward the NEXT gate the
-            # automaton expects (target fixed at the step's incoming count,
-            # so a crossing is never penalised by the target switching):
-            # progress at <= v_max*dt = 0.0625 m/step, weighted 0.5 ->
-            # <= 0.03/step against the +1 gate reward.  Curriculum-only;
-            # the default env's reward is the reference's exact +1-per-gate.
-            tx = jnp.asarray([-0.75, -1.25, -1.75, -2.50, -1.75, -2.50, -1.75, -1.75])
-            ty = jnp.asarray([-0.10, 0.10, -0.10, 0.10, -0.10, 0.10, -0.10, -0.10])
+            # automaton expects.  The target is TWO-PHASE: while the ball is
+            # outside the gate's x-window it sits on the APPROACH side of
+            # the axis (a crossing only counts inside the window —
+            # dribbling.py:158-180 — so dipping early must not be
+            # rewarded); once inside, it flips to the exit side.  Target is
+            # computed from the step's incoming state, so a crossing is
+            # never penalised by the target switching.  Magnitude <=
+            # 0.5*v_max*dt = 0.03/step against the +1 gate reward.
+            # Curriculum-only; the default env's reward is the reference's
+            # exact +1-per-gate.
+            obx, oby = state.world.ball.x, state.world.ball.y
             onehot = jnp.arange(8) == count
-            gx = jnp.sum(jnp.where(onehot, tx, 0.0))
-            gy = jnp.sum(jnp.where(onehot, ty, 0.0))
+            sel8 = lambda t: jnp.sum(jnp.where(onehot, jnp.asarray(t), 0.0))  # noqa: E731
+            # gate window centers and down/up direction per count
+            gx = sel8([-0.75, -1.25, -1.75, -2.50, -1.75, -2.50, -1.75, -1.75])
+            w_lo = sel8([NODES[1], NODES[2], NODES[3], NODES[3] - MARGIN,
+                         NODES[3], NODES[3] - MARGIN, NODES[3], NODES[3]])
+            w_hi = sel8([NODES[0], NODES[1], NODES[2], NODES[3],
+                         NODES[2], NODES[3], NODES[2], NODES[2]])
+            downward = (count == 0) | ((count >= 2) & (count % 2 == 0))
+            in_w = (obx > w_lo) & (obx < w_hi)
+            # approach above the axis for a down-crossing (dip only inside
+            # the window), mirrored for up-crossings.  Approach offset 0.25
+            # keeps the carrying robot clear of the on-axis yellows (two
+            # robot radii = 0.18) when passing over a node; exit offset
+            # 0.15 is reached mid-window, >= 0.25 m from the nodes.
+            gy = jnp.where(
+                downward,
+                jnp.where(in_w, -0.15, 0.25),
+                jnp.where(in_w, 0.15, -0.25),
+            )
             d_new = jnp.hypot(bx - gx, by - gy)
-            d_old = jnp.hypot(state.world.ball.x - gx, state.world.ball.y - gy)
+            d_old = jnp.hypot(obx - gx, oby - gy)
             reward = reward + 0.5 * (d_old - d_new)
         done = collision | rbt_out | reversed_gate | completed
 

@@ -147,8 +147,12 @@ class PPOTrainer:
             mean, log_std, value = self.net.apply(params, net_obs)
             action, logp = sample_action(step_key, mean, log_std)
             env_step_key, env_key = jax.random.split(env_key)
+            # envs define Box(-1, 1) action spaces (and the reference's SSL
+            # command conversion does NOT clip, e.g. v_theta
+            # static_defenders.py:142) — clip at the env boundary like SB3
+            # does, keeping the unclipped sample for the log-prob
             ns, nobs, reward, term, trunc, info = self.benv.step(
-                env_state, action.T, env_step_key
+                env_state, jnp.clip(action.T, -1.0, 1.0), env_step_key
             )
             t = Transition(
                 obs=net_obs, action=action, logp=logp, value=value,
@@ -288,8 +292,8 @@ class PPOTrainer:
             o = obs.T if obs_norm is None else obs_norm.normalize(obs.T)
             mean, log_std, _ = self.net.apply(params, o)
             if deterministic:
-                return mean.T
+                return jnp.clip(mean.T, -1.0, 1.0)
             action, _ = sample_action(key, mean, log_std)
-            return action.T
+            return jnp.clip(action.T, -1.0, 1.0)
 
         return policy

@@ -75,7 +75,9 @@ class SelfPlayBatchedEnv:
             -10.0, 10.0,
         )
         mean, _log_std, _v = self.net.apply(opp.params, o)
-        yellow_actions = mean.T  # deterministic opponent
+        # deterministic opponent, clipped to the Box(-1, 1) action space
+        # (same boundary rule as PPOTrainer's rollout/make_policy)
+        yellow_actions = jnp.clip(mean.T, -1.0, 1.0)
         full = jnp.concatenate([blue_actions, yellow_actions], axis=0)
         inner, obs, reward, term, trunc, info = self.benv.step(inner, full, key)
         return (inner, opp), obs, reward, term, trunc, info

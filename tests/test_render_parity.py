@@ -30,6 +30,19 @@ if not os.path.isdir(os.path.join(REFERENCE_ROOT, "rsoccer_gym", "Render")):
 if REFERENCE_ROOT not in sys.path:
     sys.path.insert(0, REFERENCE_ROOT)
 
+# Import the reference's Render modules WITHOUT executing
+# rsoccer_gym/__init__.py: that module registers the reference's gymnasium
+# entry points for the same five ids (robosim-backed — not importable here),
+# which would shadow this framework's registrations for every test collected
+# after this file.  A stub package with the real __path__ lets submodule
+# imports resolve while the package __init__ never runs.
+import types  # noqa: E402
+
+if "rsoccer_gym" not in sys.modules:
+    _pkg = types.ModuleType("rsoccer_gym")
+    _pkg.__path__ = [os.path.join(REFERENCE_ROOT, "rsoccer_gym")]
+    sys.modules["rsoccer_gym"] = _pkg
+
 from rsoccer_gym.Render.ball import Ball as RefBall  # noqa: E402
 from rsoccer_gym.Render.field import (  # noqa: E402
     SSLRenderField,

@@ -52,9 +52,23 @@ class SSLPassEnduranceEnv(SSLTaskBase):
     max_episode_steps = 1200  # rsoccer_gym/__init__.py:29
     max_kick_x = 5.0
 
-    def __init__(self, field_type: int = 2, time_step: float = 0.025):
+    def __init__(
+        self,
+        field_type: int = 2,
+        time_step: float = 0.025,
+        curriculum: bool = False,
+    ):
         super().__init__(field_type, n_blue=2, n_yellow=0, time_step=time_step)
         self.obs_size = 4 + 6 * self.n_blue
+        # Training-time extension (NOT reference behavior): spawn the
+        # receiver at a uniform 0.25..2.5 m offset instead of the
+        # reference's >= 1 m rejection (pass_endurance.py:162-176).  A pass
+        # lands only if the ball meets the receiver's kicker face —
+        # tolerance ~0.04 m, i.e. an angular window shrinking as 1/dist —
+        # so short passes give the aim/timing skill a learnable gradient
+        # that the >= 1 m task alone does not.  Evaluate on a
+        # default-constructed env (reference-exact resets).
+        self.curriculum = curriculum
         f = self.field
         self.ball_grad_scale = float(
             np.linalg.norm([f.width / 2, f.length / 2]) / 4
@@ -110,6 +124,19 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         cand = -1.5 + noise["recv_x"] * 3.0
         ok = jnp.abs(cand - ball_x) >= 1.0
         (recv_x,) = spawn.pick_first(ok, cand)
+        if self.curriculum:
+            # distance curriculum: offset 0.25..2.5 m, either side, folded
+            # back into the +-1.5 reset region
+            dist = 0.25 + noise["recv_x"][0] * 2.25
+            side = jnp.where(noise["recv_x"][1] < 0.5, -1.0, 1.0)
+            recv_x = jnp.clip(ball_x + side * dist, -1.5, 1.5)
+            # if clipping collapsed the offset (ball near the edge), flip
+            # to the roomier side
+            recv_x = jnp.where(
+                jnp.abs(recv_x - ball_x) < 0.25,
+                jnp.clip(ball_x - side * dist, -1.5, 1.5),
+                recv_x,
+            )
         recv_y = -ball_y
         vx = recv_x - shooter_x
         vy = recv_y - shooter_y

@@ -487,6 +487,36 @@ def _norm(v, scale):
     return np.clip(np.asarray(v) / scale, -1.2, 1.2)
 
 
+class TestPassEnduranceCurriculum:
+    """Training-time distance curriculum (envs/ssl_pass_endurance.py kwarg
+    ``curriculum=True``); the default env keeps the reference's >= 1 m
+    receiver rejection (covered in TestPassEndurance)."""
+
+    def test_distance_distribution(self):
+        env = rsoccer_tpu.make("SSLPassEndurance-v0", curriculum=True)
+        dists = []
+        for seed in range(64):
+            state, _ = env.reset(jax.random.PRNGKey(seed))
+            w = state.world
+            dists.append(abs(float(w.robots.x[1]) - float(w.ball.x)))
+            # receiver stays in the reset region and mirrored in y
+            assert -1.5 <= float(w.robots.x[1]) <= 1.5
+            np.testing.assert_allclose(
+                float(w.robots.y[1]), -float(w.ball.y), atol=1e-5
+            )
+        dists = np.asarray(dists)
+        assert dists.min() >= 0.25 - 1e-6
+        assert (dists < 1.0).any(), "curriculum never sampled a short pass"
+        assert (dists > 1.5).any(), "curriculum never sampled a long pass"
+
+    def test_default_env_keeps_reference_min_distance(self):
+        env = rsoccer_tpu.make("SSLPassEndurance-v0")
+        for seed in range(32):
+            state, _ = env.reset(jax.random.PRNGKey(seed))
+            w = state.world
+            assert abs(float(w.robots.x[1]) - float(w.ball.x)) >= 1.0 - 1e-6
+
+
 def test_dribbling_obs_layout_exact():
     env = rsoccer_tpu.make("SSLDribbling-v0")
     state, obs = env.reset(jax.random.PRNGKey(0))

@@ -240,15 +240,19 @@ void ssl_step(const SSLFieldParams* field, const SSLPhysicsParams* phys,
                     ball_contact(field, phys, r[0], r[1], r[2], ball[0],
                                  ball[1], ball[2]);
         if (!held) continue;
-        float rel_vx = bvx - r[3];
-        float rel_vy = bvy - r[4];
-        if (std::sqrt(rel_vx * rel_vx + rel_vy * rel_vy) >=
-            phys->dribbler_capture_speed)
-          continue;
         float cos_n = std::cos(r[2]);
         float sin_n = std::sin(r[2]);
         float face_x = r[0] + field->rbt_distance_center_kicker * cos_n;
         float face_y = r[1] + field->rbt_distance_center_kicker * sin_n;
+        // damping vs the FACE POINT velocity (incl. omega x r): a turning
+        // robot carries the ball (physics/ssl.py semantics)
+        float face_vx = r[3] - r[5] * field->rbt_distance_center_kicker * sin_n;
+        float face_vy = r[4] + r[5] * field->rbt_distance_center_kicker * cos_n;
+        float rel_vx = bvx - face_vx;
+        float rel_vy = bvy - face_vy;
+        if (std::sqrt(rel_vx * rel_vx + rel_vy * rel_vy) >=
+            phys->dribbler_capture_speed)
+          continue;
         pull_x += phys->dribbler_pull_accel * (face_x - ball[0]) -
                   phys->dribbler_damping * rel_vx;
         pull_y += phys->dribbler_pull_accel * (face_y - ball[1]) -

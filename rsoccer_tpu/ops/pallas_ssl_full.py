@@ -176,8 +176,12 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             held = contact & dribbler
             face_x = x + face_dist * cos_n
             face_y = y + face_dist * sin_n
-            rel_vx = bvx[None] - vx
-            rel_vy = bvy[None] - vy
+            # damping vs the FACE POINT velocity (incl. omega x r) so a
+            # turning robot carries the ball — physics/ssl.py semantics
+            face_vx = vx - w * face_dist * sin_n
+            face_vy = vy + w * face_dist * cos_n
+            rel_vx = bvx[None] - face_vx
+            rel_vy = bvy[None] - face_vy
             rel_speed = jnp.sqrt(rel_vx * rel_vx + rel_vy * rel_vy)
             can_hold = held & (rel_speed < cfg.dribbler_capture_speed)
             pull_x = jnp.sum(

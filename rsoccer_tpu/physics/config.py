@@ -54,7 +54,13 @@ class PhysicsConfig:
     # SSL kicker/dribbler
     kicker_depth_slack: float = 0.01  # m — contact tolerance beyond kicker face
     kicker_height: float = 0.05  # m — max ball-bottom height for kicker contact
-    dribbler_pull_accel: float = 40.0  # m/s^2 — spring pull toward kicker face
+    # spring pull toward the kicker face.  Sized so a robot spinning at its
+    # 10 rad/s command cap can carry the ball: the centripetal accel of the
+    # face orbit is w^2 * r = 100 * 0.115 = 11.5 m/s^2, and the steady-state
+    # spring lag 11.5 / 300 = 0.038 m stays inside the kicker face window
+    # (half-width rbt_kicker_width/2).  Explicit-Euler stable at the 5 ms
+    # substep (omega_n * dt = sqrt(300) * 0.005 = 0.09).
+    dribbler_pull_accel: float = 300.0  # m/s^2
     dribbler_damping: float = 30.0  # 1/s — relative-velocity damping when held
     dribbler_capture_speed: float = 2.0  # m/s — max relative speed to hold
 

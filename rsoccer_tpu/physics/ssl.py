@@ -144,11 +144,17 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         held = contact & commands.dribbler
         # spring-damper toward each holding robot's face point (at most one
         # robot can satisfy the contact predicate for a single ball in
-        # practice; contributions sum)
+        # practice; contributions sum).  The damping is relative to the
+        # FACE POINT's velocity — including the omega x r term from body
+        # rotation — so a turning robot carries the ball around with it
+        # (the physical dribbler grips the ball against the face; both
+        # hardware-challenge tasks presume turn-while-carrying).
         face_x = x + face_dist * cos_n
         face_y = y + face_dist * sin_n
-        rel_vx = bvx - v_x
-        rel_vy = bvy - v_y
+        face_vx = v_x - w * face_dist * sin_n
+        face_vy = v_y + w * face_dist * cos_n
+        rel_vx = bvx - face_vx
+        rel_vy = bvy - face_vy
         rel_speed = jnp.sqrt(rel_vx**2 + rel_vy**2)
         can_hold = held & (rel_speed < cfg.dribbler_capture_speed)
         pull_x = jnp.sum(

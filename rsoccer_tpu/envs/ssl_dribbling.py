@@ -188,16 +188,23 @@ class SSLDribblingEnv(SSLTaskBase):
             w_hi = sel8([NODES[0], NODES[1], NODES[2], NODES[3],
                          NODES[2], NODES[3], NODES[2], NODES[2]])
             downward = (count == 0) | ((count >= 2) & (count % 2 == 0))
-            in_w = (obx > w_lo) & (obx < w_hi)
+            # inset the flip region: the raw window edges ARE the node
+            # positions, so flipping at the edge steers the dip right over
+            # a yellow (measured grazing collision at 0.178 m); flipping
+            # 0.15 m inside starts the dip mid-window with full clearance
+            in_w = (obx > w_lo + 0.15) & (obx < w_hi - 0.15)
             # approach above the axis for a down-crossing (dip only inside
-            # the window), mirrored for up-crossings.  Approach offset 0.25
-            # keeps the carrying robot clear of the on-axis yellows (two
-            # robot radii = 0.18) when passing over a node; exit offset
-            # 0.15 is reached mid-window, >= 0.25 m from the nodes.
+            # the window), mirrored for up-crossings.  Approach offset 0.35
+            # keeps the CARRYING ROBOT clear of the on-axis yellows: the
+            # robot trails the ball by the 0.115 face distance, and
+            # robot-robot contact needs 0.18 — a 0.25 ball offset was
+            # measured to put the robot at ~0.14 when rounding a node
+            # (grazing collision).  Exit offset 0.15 is reached mid-window,
+            # >= 0.25 m from the nodes.
             gy = jnp.where(
                 downward,
-                jnp.where(in_w, -0.15, 0.25),
-                jnp.where(in_w, 0.15, -0.25),
+                jnp.where(in_w, -0.15, 0.35),
+                jnp.where(in_w, 0.15, -0.35),
             )
             d_new = jnp.hypot(bx - gx, by - gy)
             d_old = jnp.hypot(obx - gx, oby - gy)

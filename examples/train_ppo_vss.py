@@ -49,6 +49,10 @@ def main():
         "--env-kwargs", default="{}",
         help='JSON kwargs for the env ctor, e.g. \'{"curriculum": true}\'',
     )
+    p.add_argument(
+        "--init", default="",
+        help="warm-start from a {params, obs_norm} checkpoint (--save format)",
+    )
     args = p.parse_args()
 
     import json
@@ -65,6 +69,11 @@ def main():
     )
     trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))
+    if args.init:
+        like = {"params": state.params, "obs_norm": state.obs_norm}
+        ck = jax.tree.map(jax.numpy.asarray, checkpoint.restore(args.init, like=like))
+        state = state._replace(params=ck["params"], obs_norm=ck["obs_norm"])
+        print(f"warm-started params+obs_norm from {args.init}")
     step = jax.jit(trainer.train_step, donate_argnums=0)
 
     steps_per_update = trainer.cfg.rollout_steps * args.envs

@@ -53,6 +53,10 @@ def main():
         "--init", default="",
         help="warm-start from a {params, obs_norm} checkpoint (--save format)",
     )
+    p.add_argument(
+        "--save-every", type=int, default=0,
+        help="also write --save every K updates (crash insurance on flaky links)",
+    )
     args = p.parse_args()
 
     import json
@@ -87,8 +91,13 @@ def main():
         print(
             f"update {i:4d}  reward/step {float(metrics['mean_reward']):+.4f}  "
             f"loss {float(metrics['loss']):+.4f}  "
-            f"env-steps/s {steps_per_update / dt:,.0f}"
+            f"env-steps/s {steps_per_update / dt:,.0f}",
+            flush=True,
         )
+        if args.save and args.save_every and (i + 1) % args.save_every == 0:
+            checkpoint.save(
+                args.save, {"params": state.params, "obs_norm": state.obs_norm}
+            )
 
     if args.save:
         # the obs normaliser is part of the policy: evaluating the params

@@ -32,6 +32,7 @@ struct SSLPhysicsParams {
   float robot_alpha;
   float ball_friction_decel;
   float rest_ball_robot;
+  float rest_dribbler;  // kicker-face absorption while dribbling
   float rest_robot_robot;
   float gravity;
   float rest_ball_ground;
@@ -42,6 +43,7 @@ struct SSLPhysicsParams {
   float dribbler_pull_accel;
   float dribbler_damping;
   float dribbler_capture_speed;
+  float dribbler_reach;
 };
 
 constexpr float kEps = 1e-8f;
@@ -101,9 +103,9 @@ Jacobian build_jacobian(const SSLFieldParams* f) {
   return jac;
 }
 
-inline bool ball_contact(const SSLFieldParams* f, const SSLPhysicsParams* p,
-                         float rx, float ry, float rtheta, float bx, float by,
-                         float bz) {
+inline bool face_zone(const SSLFieldParams* f, const SSLPhysicsParams* p,
+                      float rx, float ry, float rtheta, float bx, float by,
+                      float bz, float hi_extra) {
   float cos_t = std::cos(rtheta);
   float sin_t = std::sin(rtheta);
   float dx = bx - rx;
@@ -113,10 +115,24 @@ inline bool ball_contact(const SSLFieldParams* f, const SSLPhysicsParams* p,
   float lo = f->rbt_distance_center_kicker - f->rbt_kicker_thickness -
              f->ball_radius;
   float hi = f->rbt_distance_center_kicker + f->ball_radius +
-             p->kicker_depth_slack;
+             p->kicker_depth_slack + hi_extra;
   bool low = (bz - f->ball_radius) <= p->kicker_height;
   return lx >= lo && lx <= hi && std::fabs(ly) <= f->rbt_kicker_width / 2 &&
          low;
+}
+
+inline bool ball_contact(const SSLFieldParams* f, const SSLPhysicsParams* p,
+                         float rx, float ry, float rtheta, float bx, float by,
+                         float bz) {
+  return face_zone(f, p, rx, ry, rtheta, bx, by, bz, 0.0f);
+}
+
+// dribbler attraction zone: extends dribbler_reach beyond the kicker
+// contact zone (pull only) — physics/ssl.py semantics
+inline bool ball_in_reach(const SSLFieldParams* f, const SSLPhysicsParams* p,
+                          float rx, float ry, float rtheta, float bx, float by,
+                          float bz) {
+  return face_zone(f, p, rx, ry, rtheta, bx, by, bz, p->dribbler_reach);
 }
 
 }  // namespace
@@ -237,8 +253,8 @@ void ssl_step(const SSLFieldParams* field, const SSLPhysicsParams* phys,
         const float* r = robots + 6 * i;
         const float* c = commands + 11 * i;
         bool held = c[10] > 0.5f &&
-                    ball_contact(field, phys, r[0], r[1], r[2], ball[0],
-                                 ball[1], ball[2]);
+                    ball_in_reach(field, phys, r[0], r[1], r[2], ball[0],
+                                  ball[1], ball[2]);
         if (!held) continue;
         float cos_n = std::cos(r[2]);
         float sin_n = std::sin(r[2]);
@@ -289,7 +305,15 @@ void ssl_step(const SSLFieldParams* field, const SSLPhysicsParams* phys,
         float rvy = bvy - robots[6 * i + 4];
         float vn = rvx * nx + rvy * ny;
         if (vn < 0.0f) {
-          float jimp = -(1.0f + phys->rest_ball_robot) * vn;
+          // dribbler-face absorption (physics/ssl.py): damped restitution
+          // when the ball strikes the kicker sector of a dribbling robot
+          const float* c = commands + 11 * i;
+          bool face_in =
+              ball_contact(field, phys, robots[6 * i], robots[6 * i + 1],
+                           robots[6 * i + 2], ball[0], ball[1], ball[2]);
+          float rest = (face_in && c[10] > 0.5f) ? phys->rest_dribbler
+                                                 : phys->rest_ball_robot;
+          float jimp = -(1.0f + rest) * vn;
           acc_vx += jimp * nx;
           acc_vy += jimp * ny;
         }

@@ -116,3 +116,51 @@ def dribbling_expert(state, carry_speed=1.2, dip_speed=0.6, fetch_speed=1.5,
     # env action units: global v / max_v (2.5), v_theta / 10, dribbler on
     action = jnp.stack([out_vx / 2.5, out_vy / 2.5, w / 10.0, jnp.asarray(1.0)])
     return jnp.clip(action, -1.0, 1.0)
+
+
+def pass_endurance_expert(state, brake=40.0, w_max=6.0, base_tol=0.015,
+                          w_tol=0.3, lead=0.0125):
+    """Scripted SSLPassEndurance policy: state -> action Box(3) in [-1, 1].
+
+    The shooter cannot translate (pass_endurance.py:121-124); the whole
+    skill is aim-then-kick under a deadline: the env kills the episode
+    after 21 consecutive steps in which the ball's receiver-distance
+    changes by < 0.01 m (the "stopped ball" wrong-pass rule), and the
+    slow tail of a proportional settle burns that budget (measured death
+    at step 20).  So aim time-optimally: command the braking profile
+    ``w = sqrt(2 * brake * |err|)`` (bang-bang with ``brake`` kept under
+    the drive's 50 rad/s^2 accel clamp), which lands at err ~ 0 in a few
+    steps.
+
+    Kick timing: the kick re-fires every physics substep while the ball
+    stays in the contact zone, so the release direction is the heading a
+    beat AFTER the decision — compensate with ``lead`` seconds of the
+    current angular rate.  The kick REPLACES the ball velocity
+    (physics/ssl.py), so residual spin does not deflect the ball beyond
+    the dribbler-spring lag (~w^2 r / 300, negligible at w < 1).
+
+    Aim tolerance shrinks with receiver distance (kicker face 0.08 m wide).
+    """
+    world = state.world
+    rb = world.robots
+    sx, sy, theta, w = rb.x[0], rb.y[0], rb.theta[0], rb.v_theta[0]
+    rx, ry = rb.x[1], rb.y[1]
+
+    dist = jnp.hypot(rx - sx, ry - sy)
+    aim = jnp.arctan2(ry - sy, rx - sx)
+    err = _wrap(aim - theta)
+
+    # braking profile far out, proportional (non-oscillating) near zero —
+    # pure sqrt(2 b |err|) overshoots when err ~ w * dt and hunts
+    mag = jnp.minimum(
+        jnp.sqrt(2.0 * brake * jnp.abs(err)), 30.0 * jnp.abs(err)
+    )
+    w_des = jnp.sign(err) * jnp.minimum(w_max, mag)
+
+    tol = jnp.clip(base_tol / jnp.maximum(dist, 0.25), 0.006, 0.05)
+    seated = rb.infrared[0]  # ball actually on the face (spring lag swings
+    # it out of the kick zone during fast rotation — firing then is a whiff)
+    ready = (jnp.abs(err - w * lead) < tol) & (jnp.abs(w) < w_tol) & seated
+
+    a_kick = jnp.where(ready, 1.0, 0.0)
+    return jnp.stack([w_des / 10.0, a_kick, jnp.asarray(1.0)])

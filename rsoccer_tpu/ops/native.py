@@ -160,6 +160,7 @@ class _CSSLPhysics(ctypes.Structure):
         ("robot_alpha", ctypes.c_float),
         ("ball_friction_decel", ctypes.c_float),
         ("rest_ball_robot", ctypes.c_float),
+        ("rest_dribbler", ctypes.c_float),
         ("rest_robot_robot", ctypes.c_float),
         ("gravity", ctypes.c_float),
         ("rest_ball_ground", ctypes.c_float),
@@ -170,6 +171,7 @@ class _CSSLPhysics(ctypes.Structure):
         ("dribbler_pull_accel", ctypes.c_float),
         ("dribbler_damping", ctypes.c_float),
         ("dribbler_capture_speed", ctypes.c_float),
+        ("dribbler_reach", ctypes.c_float),
     ]
 
 
@@ -234,6 +236,7 @@ def ssl_step_native(
         robot_alpha=cfg.robot_alpha,
         ball_friction_decel=cfg.ball_friction_decel,
         rest_ball_robot=cfg.rest_ball_robot,
+        rest_dribbler=cfg.rest_dribbler,
         rest_robot_robot=cfg.rest_robot_robot,
         gravity=cfg.gravity,
         rest_ball_ground=cfg.rest_ball_ground,
@@ -244,6 +247,7 @@ def ssl_step_native(
         dribbler_pull_accel=cfg.dribbler_pull_accel,
         dribbler_damping=cfg.dribbler_damping,
         dribbler_capture_speed=cfg.dribbler_capture_speed,
+        dribbler_reach=cfg.dribbler_reach,
     )
     ball_c = np.ascontiguousarray(ball, np.float32)
     robots_c = np.ascontiguousarray(robots, np.float32)

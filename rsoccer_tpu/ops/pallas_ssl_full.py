@@ -102,7 +102,7 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
     contact_lo = face_dist - field.rbt_kicker_thickness - r_ball
     contact_hi = face_dist + r_ball + cfg.kicker_depth_slack
 
-    def ball_contact(x, y, cos_t, sin_t, bx, by, bz):
+    def _face_zone(x, y, cos_t, sin_t, bx, by, bz, hi):
         dx = bx[None] - x
         dy = by[None] - y
         lx = dx * cos_t + dy * sin_t
@@ -110,9 +110,18 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
         low = (bz - r_ball) <= cfg.kicker_height
         return (
             (lx >= contact_lo)
-            & (lx <= contact_hi)
+            & (lx <= hi)
             & (jnp.abs(ly) <= half_kick_w)
             & low[None]
+        )
+
+    def ball_contact(x, y, cos_t, sin_t, bx, by, bz):
+        return _face_zone(x, y, cos_t, sin_t, bx, by, bz, contact_hi)
+
+    def ball_in_reach(x, y, cos_t, sin_t, bx, by, bz):
+        # dribbler attraction zone (pull only) — physics/ssl.py semantics
+        return _face_zone(
+            x, y, cos_t, sin_t, bx, by, bz, contact_hi + cfg.dribbler_reach
         )
 
     def physics(x, y, theta, vx, vy, w, ball6, tgt3, kick_vx, kick_vz, dribbler):
@@ -172,7 +181,7 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             bvx = jnp.where(on_ground, fvx, bvx)
             bvy = jnp.where(on_ground, fvy, bvy)
 
-            contact = ball_contact(x, y, cos_n, sin_n, bx, by, bz)
+            contact = ball_in_reach(x, y, cos_n, sin_n, bx, by, bz)
             held = contact & dribbler
             face_x = x + face_dist * cos_n
             face_y = y + face_dist * sin_n
@@ -229,8 +238,15 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             relvx = bvx[None] - vx
             relvy = bvy[None] - vy
             bvn = relvx * bnx + relvy * bny
+            # dribbler-face absorption: rest_dribbler instead of the body
+            # restitution when the ball strikes a dribbling robot's kicker
+            # sector (pre-resolve position) — physics/ssl.py semantics
+            face_in = ball_contact(x, y, cos_n, sin_n, bx, by, bz)
+            rest = jnp.where(
+                face_in & dribbler, cfg.rest_dribbler, cfg.rest_ball_robot
+            )
             bj = jnp.where(
-                bcol & (bvn < 0.0), -(1.0 + cfg.rest_ball_robot) * bvn, 0.0
+                bcol & (bvn < 0.0), -(1.0 + rest) * bvn, 0.0
             )
             bvx = bvx + jnp.sum(bj * bnx, axis=0)
             bvy = bvy + jnp.sum(bj * bny, axis=0)

@@ -62,6 +62,8 @@ def resolve_ball_robots(
     """Ball vs N robot discs.  Ball takes the full correction (mass ratio ~0);
     robots are unaffected.  Returns corrected ball (x, y, v_x, v_y).
 
+    ``restitution``: scalar or per-robot ``(N,)`` (SSL passes an array so a
+    dribbling robot's kicker face absorbs the ball, physics/ssl.py).
     ``active``: optional scalar bool — when False every contact is ignored
     (a chipped ball above ``rbt_height`` flies over the robots).
     """

@@ -46,6 +46,17 @@ class PhysicsConfig:
     # restitution
     rest_ball_wall: float = 0.6
     rest_ball_robot: float = 0.5
+    # A spinning dribbler bar absorbs an incoming ball instead of
+    # reflecting it (the bar's backspin grips on contact — the mechanism
+    # every SSL receiver relies on; grSim models it as an active contact
+    # force).  Applied INSTEAD of rest_ball_robot when the ball strikes
+    # the kicker-face sector of a robot whose dribbler is on.  At the
+    # body restitution (0.5) a minimum-power 2.5 m/s pass rebounds at
+    # ~1 m/s and escapes the 1 mm capture shell between substeps, making
+    # SSLPassEndurance success luck-limited (measured: scripted aim-and-
+    # kick 9%); at 0.1 the rebound is damped inside the shell and the
+    # spring latches — receiving becomes deterministic physics.
+    rest_dribbler: float = 0.1
     rest_robot_robot: float = 0.1
 
     # robots bounce off walls dead (clamped); ball uses rest_ball_wall
@@ -63,6 +74,14 @@ class PhysicsConfig:
     dribbler_pull_accel: float = 300.0  # m/s^2
     dribbler_damping: float = 30.0  # 1/s — relative-velocity damping when held
     dribbler_capture_speed: float = 2.0  # m/s — max relative speed to hold
+    # The spinning bar attracts a nearby ball from farther out than the
+    # kicker-contact/infrared zone (which extends only kicker_depth_slack =
+    # 1 mm past the ball-body collision shell).  Without this, a received
+    # pass that comes to rest 1-6 mm beyond the shell (measured: every
+    # near-miss in the scripted-pass study) sits outside both the spring's
+    # reach and the infrared zone and the pass is lost.  Pull-only: the
+    # infrared report and the kick trigger keep the tight zone.
+    dribbler_reach: float = 0.03  # m beyond the kicker contact zone
 
 
 VSS_PHYSICS = PhysicsConfig(

@@ -88,10 +88,7 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         direct = jnp.stack([commands.v_x, commands.v_y, commands.v_theta], -1)
         return jnp.where(commands.wheel_speed[:, None], from_wheels, direct)
 
-    def ball_contact(rb_x, rb_y, rb_theta, bx, by, bz):
-        """Infrared predicate: ball center inside the kicker face zone and
-        low enough for the kicker plate (a chipped ball in flight does not
-        trigger infrared)."""
+    def _face_zone(rb_x, rb_y, rb_theta, bx, by, bz, hi):
         cos_t = jnp.cos(rb_theta)
         sin_t = jnp.sin(rb_theta)
         dx = bx - rb_x
@@ -101,9 +98,24 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         low = (bz - field.ball_radius) <= cfg.kicker_height
         return (
             (lx >= contact_lo)
-            & (lx <= contact_hi)
+            & (lx <= hi)
             & (jnp.abs(ly) <= half_kick_w)
             & low
+        )
+
+    def ball_contact(rb_x, rb_y, rb_theta, bx, by, bz):
+        """Infrared predicate: ball center inside the kicker face zone and
+        low enough for the kicker plate (a chipped ball in flight does not
+        trigger infrared)."""
+        return _face_zone(rb_x, rb_y, rb_theta, bx, by, bz, contact_hi)
+
+    def ball_in_reach(rb_x, rb_y, rb_theta, bx, by, bz):
+        """Dribbler attraction zone: extends ``dribbler_reach`` beyond the
+        kicker contact zone — the spinning bar pulls a nearby ball in (a
+        received pass settles a few mm past the collision shell; without
+        reach it would rest outside both spring and infrared)."""
+        return _face_zone(
+            rb_x, rb_y, rb_theta, bx, by, bz, contact_hi + cfg.dribbler_reach
         )
 
     def substep(world: WorldState, tgt, commands: SSLCommands) -> WorldState:
@@ -140,7 +152,7 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         bvx = jnp.where(on_ground, fvx, ball.v_x)
         bvy = jnp.where(on_ground, fvy, ball.v_y)
 
-        contact = ball_contact(x, y, theta, ball.x, ball.y, ball.z)
+        contact = ball_in_reach(x, y, theta, ball.x, ball.y, ball.z)
         held = contact & commands.dribbler
         # spring-damper toward each holding robot's face point (at most one
         # robot can satisfy the contact predicate for a single ball in
@@ -183,9 +195,16 @@ def make_ssl_step(field: FieldParams, cfg: PhysicsConfig, dt: float):
         bx = ball.x + bvx * dts
         by = ball.y + bvy * dts
         below_top = (bz - field.ball_radius) < cfg.rbt_height
+        # a ball striking the kicker-face sector of a dribbling robot is
+        # absorbed by the bar (rest_dribbler) instead of bouncing off the
+        # body shell — evaluated at the pre-resolve ball position
+        face_in = ball_contact(x, y, theta, bx, by, bz)
+        rest = jnp.where(
+            face_in & commands.dribbler, cfg.rest_dribbler, cfg.rest_ball_robot
+        )
         bx, by, bvx, bvy = common.resolve_ball_robots(
             bx, by, bvx, bvy, x, y, v_x, v_y,
-            field.rbt_radius, field.ball_radius, cfg.rest_ball_robot,
+            field.rbt_radius, field.ball_radius, rest,
             active=below_top,
         )
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 import rsoccer_tpu
 from rsoccer_tpu.envs.base import draw_noise, strongify
-from rsoccer_tpu.experts import dribbling_expert
+from rsoccer_tpu.experts import dribbling_expert, pass_endurance_expert
 
 
 def _run(env, state, length):
@@ -48,6 +48,41 @@ def test_dribbling_expert_completes_reference_course():
     assert int(steps) < 1200
     # clearance to every yellow stays above the 0.18 m contact radius
     assert float(mind) > 0.18
+
+
+def test_pass_endurance_expert_success():
+    """Aim-and-kick completes the pass on (nearly) every reference reset.
+
+    This pins the receiving physics end to end: kick release accuracy,
+    the dribbler-face bounce absorption (rest_dribbler) and the dribbler
+    attraction reach — with body restitution alone a minimum-power pass
+    rebounds off the receiver and success was luck-limited (measured 9%);
+    with the face physics it is deterministic (512/512 at tuning time).
+    """
+    env = rsoccer_tpu.make("SSLPassEndurance-v0")
+    B = 128
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    reset = jax.vmap(
+        lambda k: strongify(env.reset_state(draw_noise(k, env.reset_noise_spec())))
+    )
+    states = reset(keys)
+    noise = draw_noise(jax.random.PRNGKey(0), env.transition_noise_spec())
+
+    def one(state):
+        def body(carry, _):
+            st, done_ever, success = carry
+            act = pass_endurance_expert(st)
+            ns, r, term, info = env.transition(st, act, noise)
+            succ = term & (r > 0.5) & ~done_ever
+            out = jax.tree.map(lambda a, b: jnp.where(done_ever, a, b), st, ns)
+            return (out, done_ever | term, success | succ), None
+
+        init = (state, jnp.asarray(False), jnp.asarray(False))
+        (_, de, succ), _ = jax.lax.scan(body, init, None, length=400)
+        return succ
+
+    succ = jax.jit(jax.vmap(one))(states)
+    assert int(succ.sum()) >= int(0.97 * B)
 
 
 def test_dribbling_expert_from_curriculum_spawns():

@@ -165,6 +165,19 @@ def main():
                          jax.random.PRNGKey(args.seed + 200 + it))
         print(f"dagger {it}: {X.shape[0]} pairs, final mse {float(ls[-1]):.5f}")
 
+    # set the policy std from the clone's residuals: log_std is untouched by
+    # the MSE fit (zero grad) and would stay at 0 — std 1.0 of exploration
+    # noise on a precision task wrecks the clone the moment PPO rolls it
+    # (measured: 96.8% -> 54.4% after a 300-update fine-tune).  Floor at
+    # 0.1 so fine-tuning still explores.
+    mean, _, _ = net.apply(params, obs_norm.normalize(X))
+    resid = jnp.sqrt(jnp.mean((mean - Y) ** 2, axis=0))
+    log_std = jnp.log(jnp.clip(resid, 0.1, 1.0))
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: log_std if p[-1].key == "log_std" else v, params
+    )
+    print("bc residual std per action dim:", [round(float(v), 4) for v in resid])
+
     checkpoint.save(args.save, {"params": params, "obs_norm": obs_norm})
     print(f"saved params+obs_norm to {args.save}")
 

@@ -57,6 +57,17 @@ def main():
         "--save-every", type=int, default=0,
         help="also write --save every K updates (crash insurance on flaky links)",
     )
+    p.add_argument(
+        "--freeze-obs-norm", action="store_true",
+        help="normalise with the --init checkpoint's stats without updating "
+        "them (fine-tuning: fresh moments shift the policy's effective "
+        "weights)",
+    )
+    p.add_argument(
+        "--critic-warmup", type=int, default=0,
+        help="freeze the actor for the first N updates (fine-tuning: let "
+        "the fresh value head fit before its noise hits the policy)",
+    )
     args = p.parse_args()
 
     import json
@@ -70,6 +81,8 @@ def main():
         ent_coef=args.ent_coef,
         rollout_steps=args.rollout_steps,
         gae_lambda=args.gae_lambda,
+        freeze_obs_norm=args.freeze_obs_norm,
+        critic_warmup_updates=args.critic_warmup,
     )
     trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))

@@ -116,3 +116,62 @@ def test_train_state_obs_norm_updates(trainer):
     # stats moved away from init
     assert float(jnp.abs(s1.obs_norm.mean).sum()) > 0
     assert float(s1.obs_norm.count) > 1
+
+
+def test_critic_warmup_freezes_actor():
+    """During warmup only critic params move; after it the actor moves too."""
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 16)
+    cfg = PPOConfig(
+        rollout_steps=8, num_epochs=1, num_minibatches=2,
+        critic_warmup_updates=2,
+    )
+    trainer = PPOTrainer(benv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.train_step)
+
+    def split(params):
+        actor, critic = {}, {}
+        for name, leaf in params["params"].items():
+            (actor if name.startswith("actor") or name == "log_std"
+             else critic)[name] = leaf
+        return actor, critic
+
+    a0, c0 = split(state.params)
+    state, _ = step(state, jax.random.PRNGKey(1))
+    a1, c1 = split(state.params)
+    assert all(
+        bool(jnp.all(x == y))
+        for x, y in zip(jax.tree.leaves(a0), jax.tree.leaves(a1))
+    ), "actor moved during critic warmup"
+    assert any(
+        bool(jnp.any(x != y))
+        for x, y in zip(jax.tree.leaves(c0), jax.tree.leaves(c1))
+    ), "critic did not move during warmup"
+
+    state, _ = step(state, jax.random.PRNGKey(2))  # update 1 (< 2): frozen
+    a2, _ = split(state.params)
+    assert all(
+        bool(jnp.all(x == y))
+        for x, y in zip(jax.tree.leaves(a1), jax.tree.leaves(a2))
+    )
+    state, _ = step(state, jax.random.PRNGKey(3))  # update 2: unfrozen
+    a3, _ = split(state.params)
+    assert any(
+        bool(jnp.any(x != y))
+        for x, y in zip(jax.tree.leaves(a2), jax.tree.leaves(a3))
+    ), "actor still frozen after warmup"
+
+
+def test_freeze_obs_norm():
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 16)
+    cfg = PPOConfig(
+        rollout_steps=8, num_epochs=1, num_minibatches=2,
+        freeze_obs_norm=True,
+    )
+    trainer = PPOTrainer(benv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state2, _ = jax.jit(trainer.train_step)(state, jax.random.PRNGKey(1))
+    assert bool(jnp.all(state2.obs_norm.mean == state.obs_norm.mean))
+    assert float(state2.obs_norm.count) == float(state.obs_norm.count)

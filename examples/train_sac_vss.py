@@ -1,9 +1,18 @@
-"""Train a SAC agent on VSS-v0, fully on-device.
+"""Train a SAC agent on any registered env, fully on-device.
 
     python examples/train_sac_vss.py [--envs 256] [--iters 2000]
+    python examples/train_sac_vss.py --env-id SSLContestedPossession-v0 \
+        --reward-scale 10 --iters 20000 --log /tmp/sac_cp.jsonl
+
+With ``--log`` every logged iteration appends one JSON line
+{iter, env_steps, wall_s, mean_reward, q_loss, alpha} and every
+``--eval-every`` iterations a deterministic-policy evaluation line
+{iter, env_steps, wall_s, eval: {episodes, success_rate, ...}} —
+the convergence curve artifact (plot env_steps vs success_rate).
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -18,6 +27,7 @@ enable_persistent_cache()
 
 import rsoccer_tpu
 from rsoccer_tpu.batch.vecenv import BatchedEnv
+from rsoccer_tpu.eval import make_eval_fn, success_criterion
 from rsoccer_tpu.models.sac import SACConfig, SACTrainer
 from rsoccer_tpu.utils import checkpoint
 
@@ -30,6 +40,11 @@ def main():
     p.add_argument("--save", default="")
     p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--target-entropy-scale", type=float, default=1.0)
+    p.add_argument("--log", default="", help="append JSONL curve points here")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="deterministic eval every N iters (0 = off)")
+    p.add_argument("--eval-envs", type=int, default=128)
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
@@ -45,22 +60,71 @@ def main():
     state = trainer.init(jax.random.PRNGKey(0))
     step = jax.jit(trainer.train_step, donate_argnums=0)
 
+    evaluate = None
+    if args.eval_every:
+        eval_benv = BatchedEnv(env, args.eval_envs)
+        # fresh-reset rollout long enough for every lane to finish >=1 episode
+        eval_steps = env.max_episode_steps + env.max_episode_steps // 4
+
+        # params enter as a jit argument so one compiled program serves
+        # every evaluation point along the curve
+        def _eval_fn(key, params):
+            policy = trainer.make_policy(params, deterministic=True)
+            fn = make_eval_fn(
+                eval_benv, eval_steps, policy, success_criterion(args.env_id)
+            )
+            return fn(key)
+
+        evaluate = jax.jit(_eval_fn)
+
+    log_f = open(args.log, "a") if args.log else None
+
+    def emit(rec):
+        if log_f:
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+
     key = jax.random.PRNGKey(1)
+    ekey = jax.random.PRNGKey(2)
     t0 = time.perf_counter()
+    spi = args.envs * trainer.cfg.env_steps_per_iter
     for i in range(args.iters):
         key, k = jax.random.split(key)
         state, m = step(state, k)
-        if i % max(1, args.iters // 10) == 0 or i == args.iters - 1:
+        last = i == args.iters - 1
+        if i % max(1, args.iters // 10) == 0 or last:
             print(
                 f"iter {i:5d}  reward/step {float(m['mean_reward']):+.4f}  "
                 f"q_loss {float(m['q_loss']):.4f}  alpha {float(m['alpha']):.3f}"
             )
-    steps = args.iters * args.envs * trainer.cfg.env_steps_per_iter
+        if log_f and (i % args.log_every == 0 or last):
+            emit({
+                "iter": i, "env_steps": (i + 1) * spi,
+                "wall_s": round(time.perf_counter() - t0, 1),
+                "mean_reward": float(m["mean_reward"]),
+                "q_loss": float(m["q_loss"]),
+                "alpha": float(m["alpha"]),
+            })
+        if evaluate is not None and ((i + 1) % args.eval_every == 0 or last):
+            ekey, sub = jax.random.split(ekey)
+            ms = evaluate(sub, state.actor_params)
+            rec = {
+                "iter": i, "env_steps": (i + 1) * spi,
+                "wall_s": round(time.perf_counter() - t0, 1),
+                "eval": ms.summary(),
+            }
+            print(f"eval @ iter {i}: {rec['eval']}")
+            emit(rec)
+            if args.save:
+                checkpoint.save(args.save, state.actor_params)
+    steps = args.iters * spi
     print(f"{steps/1e6:.2f}M env-steps in {time.perf_counter()-t0:.0f}s")
 
     if args.save:
         checkpoint.save(args.save, state.actor_params)
         print(f"saved actor params to {args.save}")
+    if log_f:
+        log_f.close()
 
 
 if __name__ == "__main__":

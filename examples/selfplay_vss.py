@@ -100,8 +100,12 @@ def main():
     if args.save:
         from rsoccer_tpu.utils import checkpoint
 
-        checkpoint.save(args.save, state.params)
-        print(f"saved params to {args.save}")
+        # save the obs normaliser with the params — evaluating params
+        # alone silently feeds the network unnormalised observations
+        checkpoint.save(
+            args.save, {"params": state.params, "obs_norm": state.obs_norm}
+        )
+        print(f"saved {{params, obs_norm}} to {args.save}")
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from rsoccer_tpu.core.state import BallState, RobotsState, WorldState
@@ -124,63 +125,108 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             x, y, cos_t, sin_t, bx, by, bz, contact_hi + cfg.dribbler_reach
         )
 
-    def physics(x, y, theta, vx, vy, w, ball6, tgt3, kick_vx, kick_vz, dribbler):
+    def physics(
+        x, y, theta, vx, vy, w, ball6, tgt3, kick_vx, kick_vz, dribbler,
+        trig0=None,
+    ):
+        """Returns ``(x, y, theta, vx, vy, w, ball6, infrared,
+        (cos_t, sin_t))`` — the final heading trig rows are exposed so task
+        epilogues (energy term, observation build) reuse them instead of
+        re-lowering transcendentals.  ``trig0`` optionally supplies
+        ``(cos(theta), sin(theta))`` if the caller already computed them.
+
+        Heading trig is composed across substeps with reduced-range
+        Taylor sin/cos of the per-substep rotation ``w*dts`` (deg 7/6:
+        error < 1e-7 for |w*dts| <= 0.5 rad, i.e. |v_theta| <= 100 rad/s
+        at the 200 Hz substep — an order of magnitude beyond any in-box
+        task command, whose cap is max_w_cmd = 10).  Beyond that the
+        headings degrade gracefully (the XLA path is the reference
+        implementation for pathological out-of-box commands)."""
         bx, by, bz, bvx, bvy, bvz = ball6
         tu, tv, tw = tgt3
         contact_after = None
-        for _ in range(n_substeps):
+        n = x.shape[0]
+        pair_ij = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        if trig0 is None:
             cos_t = jnp.cos(theta)
             sin_t = jnp.sin(theta)
+        else:
+            cos_t, sin_t = trig0
+        for _ in range(n_substeps):
             u = vx * cos_t + vy * sin_t
             s = -vx * sin_t + vy * cos_t
             u = u + jnp.clip(tu - u, -a_lin, a_lin)
             s = s + jnp.clip(tv - s, -a_lin, a_lin)
             w = w + jnp.clip(tw - w, -a_ang, a_ang)
-            theta = _wrap_angle(theta + w * dts)
-            cos_n = jnp.cos(theta)
-            sin_n = jnp.sin(theta)
-            vx = u * cos_n - s * sin_n
-            vy = u * sin_n + s * cos_n
+            dth = w * dts
+            theta = _wrap_angle(theta + dth)
+            dd = dth * dth
+            sin_d = dth * (
+                1.0 + dd * (-1.0 / 6.0 + dd * (1.0 / 120.0 - dd / 5040.0))
+            )
+            cos_d = 1.0 + dd * (-0.5 + dd * (1.0 / 24.0 - dd / 720.0))
+            cos_n = cos_t * cos_d - sin_t * sin_d
+            sin_t = sin_t * cos_d + cos_t * sin_d
+            cos_t = cos_n
+            vx = u * cos_t - s * sin_t
+            vy = u * sin_t + s * cos_t
             x = x + vx * dts
             y = y + vy * dts
 
-            # robot-robot collisions (no SSL walls)
-            dx = x[:, None] - x[None, :]
-            dy = y[:, None] - y[None, :]
-            d2 = dx * dx + dy * dy
-            rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            eye = rows == cols
-            d = jnp.sqrt(jnp.where(eye, 1.0, jnp.maximum(d2, _EPS * _EPS)))
-            overlap = jnp.where(eye, 0.0, 2.0 * r_rbt - d)
-            colliding = overlap > 0.0
-            nx = dx / jnp.maximum(d, _EPS)
-            ny = dy / jnp.maximum(d, _EPS)
-            push = jnp.where(colliding, 0.5 * overlap, 0.0)
-            x = x + jnp.sum(push * nx, axis=1)
-            y = y + jnp.sum(push * ny, axis=1)
-            rvx = vx[:, None] - vx[None, :]
-            rvy = vy[:, None] - vy[None, :]
-            vn = rvx * nx + rvy * ny
-            imp = jnp.where(
-                colliding & (vn < 0.0),
-                -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
-                0.0,
-            )
-            vx = vx + jnp.sum(imp * nx, axis=1)
-            vy = vy + jnp.sum(imp * ny, axis=1)
+            # robot-robot collisions over the upper-triangle pair list
+            # (n(n-1)/2 rows instead of the n*n matrix; antisymmetric
+            # push/impulse — same physics up to summation order)
+            if n > 1:
+                dxp = jnp.stack([x[i] - x[j] for i, j in pair_ij])
+                dyp = jnp.stack([y[i] - y[j] for i, j in pair_ij])
+                d2 = jnp.maximum(dxp * dxp + dyp * dyp, _EPS * _EPS)
+                inv_d = jax.lax.rsqrt(d2)
+                overlap = 2.0 * r_rbt - d2 * inv_d
+                colliding = overlap > 0.0
+                fx = jnp.where(colliding, 0.5 * overlap, 0.0) * inv_d
+                pnx = fx * dxp
+                pny = fx * dyp
+                rvx = jnp.stack([vx[i] - vx[j] for i, j in pair_ij])
+                rvy = jnp.stack([vy[i] - vy[j] for i, j in pair_ij])
+                vn = rvx * dxp + rvy * dyp  # (v_rel . n) * d
+                g = jnp.where(
+                    colliding & (vn < 0.0),
+                    -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
+                    0.0,
+                ) * (inv_d * inv_d)
+                gx = g * dxp
+                gy = g * dyp
+
+                def scatter(base, rows_):
+                    out = []
+                    for r in range(n):
+                        acc = base[r]
+                        for p, (i, j) in enumerate(pair_ij):
+                            if i == r:
+                                acc = acc + rows_[p]
+                            elif j == r:
+                                acc = acc - rows_[p]
+                        out.append(acc)
+                    return jnp.stack(out)
+
+                x = scatter(x, pnx)
+                y = scatter(y, pny)
+                vx = scatter(vx, gx)
+                vy = scatter(vy, gy)
 
             # ball: friction (grounded), dribbler pull, vertical, integrate
             on_ground = bz <= r_ball + 1e-4
-            speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
+            inv_speed = jax.lax.rsqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
             scale = jnp.maximum(
-                0.0, 1.0 - cfg.ball_friction_decel * dts / speed
+                0.0, 1.0 - cfg.ball_friction_decel * dts * inv_speed
             )
             fvx = bvx * scale
             fvy = bvy * scale
             bvx = jnp.where(on_ground, fvx, bvx)
             bvy = jnp.where(on_ground, fvy, bvy)
 
+            cos_n = cos_t
+            sin_n = sin_t
             contact = ball_in_reach(x, y, cos_n, sin_n, bx, by, bz)
             held = contact & dribbler
             face_x = x + face_dist * cos_n
@@ -228,11 +274,12 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             below_top = (bz - r_ball) < cfg.rbt_height
             bdx = bx[None] - x
             bdy = by[None] - y
-            bd = jnp.sqrt(jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS))
-            boverlap = (r_rbt + r_ball) - bd
+            bd2 = jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS)
+            inv_bd = jax.lax.rsqrt(bd2)
+            boverlap = (r_rbt + r_ball) - bd2 * inv_bd
             bcol = (boverlap > 0.0) & below_top[None]
-            bnx = bdx / jnp.maximum(bd, _EPS)
-            bny = bdy / jnp.maximum(bd, _EPS)
+            bnx = bdx * inv_bd
+            bny = bdy * inv_bd
             bx = bx + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bnx, axis=0)
             by = by + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bny, axis=0)
             relvx = bvx[None] - vx
@@ -261,7 +308,10 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             bvy = jnp.where(any_kick, kvy, bvy)
             bvz = jnp.where(any_kick & (kvz > 0.0), kvz, bvz)
 
-        return x, y, theta, vx, vy, w, (bx, by, bz, bvx, bvy, bvz), contact_after
+        return (
+            x, y, theta, vx, vy, w,
+            (bx, by, bz, bvx, bvy, bvz), contact_after, (cos_t, sin_t),
+        )
 
     return physics
 
@@ -497,8 +547,10 @@ def make_pallas_sd_full_step(
         a_vx = act[0] * max_v
         a_vy = act[1] * max_v
         a_vt = act[2] * max_w_cmd
-        c0 = jnp.cos(theta[0])
-        s0 = jnp.sin(theta[0])
+        cos_all = jnp.cos(theta)
+        sin_all = jnp.sin(theta)
+        c0 = cos_all[0]
+        s0 = sin_all[0]
         lvx = a_vx * c0 + a_vy * s0
         lvy = -a_vx * s0 + a_vy * c0
         v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
@@ -517,10 +569,11 @@ def make_pallas_sd_full_step(
             [(act[4] > 0.0)[None], zero_n1 > 1.0], axis=0
         )
 
-        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared, trig2 = physics(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
+            trig0=(cos_all, sin_all),
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -544,9 +597,10 @@ def make_pallas_sd_full_step(
         last_g = jnp.sqrt((bx0 - half_len) ** 2 + by0 * by0)
         g = jnp.sqrt((bx - half_len) ** 2 + by * by)
         ball_grad = jnp.clip(last_g - g, -1.0, 1.0) / ball_grad_scale
-        # energy: sum |achieved wheel speed| of robot 0 (post-step frame)
-        cos_p = jnp.cos(theta2[0])
-        sin_p = jnp.sin(theta2[0])
+        # energy: sum |achieved wheel speed| of robot 0 (post-step frame);
+        # heading trig reused from the physics body's carried rotation
+        cos_p = trig2[0][0]
+        sin_p = trig2[1][0]
         u0 = vx2[0] * cos_p + vy2[0] * sin_p
         s0p = -vx2[0] * sin_p + vy2[0] * cos_p
         e = 0.0
@@ -649,7 +703,10 @@ def make_pallas_sd_full_step(
         obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
         obs_rows += [
             npos(x_out[0]), npos(y_out[0]),
-            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            # robot 0 resets to theta=0 (sin 0, cos 1): select on the
+            # physics trig instead of re-lowering sin/cos of t_out[0]
+            jnp.where(done, 0.0, trig2[1][0]),
+            jnp.where(done, 1.0, trig2[0][0]),
             nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
             jnp.where(ir_out[0], 1.0, 0.0),
         ]
@@ -818,8 +875,10 @@ def make_pallas_cp_full_step(
         a_vx = act[0] * max_v
         a_vy = act[1] * max_v
         a_vt = act[2] * max_w_cmd
-        c0 = jnp.cos(theta[0])
-        s0 = jnp.sin(theta[0])
+        cos_all = jnp.cos(theta)
+        sin_all = jnp.sin(theta)
+        c0 = cos_all[0]
+        s0 = sin_all[0]
         lvx = a_vx * c0 + a_vy * s0
         lvy = -a_vx * s0 + a_vy * c0
         v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
@@ -838,10 +897,11 @@ def make_pallas_cp_full_step(
             [(act[4] > 0.0)[None], zero_n1 > 1.0], axis=0
         )
 
-        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared, trig2 = physics(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
+            trig0=(cos_all, sin_all),
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -869,8 +929,8 @@ def make_pallas_cp_full_step(
         last_g = jnp.sqrt((bx0 - half_len) ** 2 + by0 * by0)
         g = jnp.sqrt((bx - half_len) ** 2 + by * by)
         ball_grad = jnp.clip(last_g - g, -1.0, 1.0) / ball_grad_scale
-        cos_p = jnp.cos(theta2[0])
-        sin_p = jnp.sin(theta2[0])
+        cos_p = trig2[0][0]
+        sin_p = trig2[1][0]
         u0 = vx2[0] * cos_p + vy2[0] * sin_p
         s0p = -vx2[0] * sin_p + vy2[0] * cos_p
         e = 0.0
@@ -943,7 +1003,9 @@ def make_pallas_cp_full_step(
         obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
         obs_rows += [
             npos(x_out[0]), npos(y_out[0]),
-            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            # robot 0 resets to theta=0: select on the physics trig
+            jnp.where(done, 0.0, trig2[1][0]),
+            jnp.where(done, 1.0, trig2[0][0]),
             nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
             jnp.where(ir_out[0], 1.0, 0.0),
         ]
@@ -1050,8 +1112,10 @@ def make_pallas_dr_full_step(
         a_vx = act[0] * max_v
         a_vy = act[1] * max_v
         a_vt = act[2] * max_w_cmd
-        c0 = jnp.cos(theta[0])
-        s0 = jnp.sin(theta[0])
+        cos_all = jnp.cos(theta)
+        sin_all = jnp.sin(theta)
+        c0 = cos_all[0]
+        s0 = sin_all[0]
         lvx = a_vx * c0 + a_vy * s0
         lvy = -a_vx * s0 + a_vy * c0
         v_norm = jnp.sqrt(lvx * lvx + lvy * lvy)
@@ -1069,10 +1133,11 @@ def make_pallas_dr_full_step(
             [(act[3] > 0.0)[None], zero_n1 > 1.0], axis=0
         )
 
-        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared, trig2 = physics(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
+            trig0=(cos_all, sin_all),
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -1164,7 +1229,11 @@ def make_pallas_dr_full_step(
         obs_rows = [head, npos(bx), npos(by), nv(bvx), nv(bvy)]
         obs_rows += [
             npos(x_out[0]), npos(y_out[0]),
-            jnp.sin(t_out[0]), jnp.cos(t_out[0]),
+            # robot 0 resets to theta=pi (sin 0, cos -1): select on the
+            # physics trig.  sin(pi_f32) evaluated in f32 is ~-8.74e-8,
+            # not 0 — bake the value the XLA path produces on reset lanes.
+            jnp.where(done, float(np.sin(np.float32(np.pi))), trig2[1][0]),
+            jnp.where(done, float(np.cos(np.float32(np.pi))), trig2[0][0]),
             nv(vx_out[0]), nv(vy_out[0]), nw(w_out[0]),
             jnp.where(ir_out[0], 1.0, -1.0),  # infrared in {-1, 1}!
         ]
@@ -1276,7 +1345,7 @@ def make_pallas_pe_full_step(
             [(act[2] > 0.0)[None], jnp.ones_like(zero1) > 0.0], axis=0
         )
 
-        x2, y2, theta2, vx2, vy2, w2, ball2, infrared = physics(
+        x2, y2, theta2, vx2, vy2, w2, ball2, infrared, trig2 = physics(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
@@ -1381,11 +1450,32 @@ def make_pallas_pe_full_step(
         def nw(v):
             return jnp.clip(v / max_w_norm, -nbnd, nbnd)
 
+        # reset-lane heading trig without re-lowering sin/cos:
+        # shooter resets to -+pi/2 (f32-evaluated constants); receiver's
+        # reset heading is atan2(dy,dx)+pi, whose trig is just the negated
+        # unit vector shooter->receiver (exact, no atan2 needed)
+        sin_hpi = float(np.sin(np.float32(np.pi) / np.float32(2)))
+        cos_hpi = float(np.cos(np.float32(np.pi) / np.float32(2)))
+        rst_sin0 = jnp.where(factor > 0.0, -sin_hpi, sin_hpi)
+        rst_cos0 = jnp.full_like(rst_sin0, cos_hpi)
+        rdx = recv_x - shooter_x
+        rdy = recv_y - shooter_y
+        inv_rr = jax.lax.rsqrt(jnp.maximum(rdx * rdx + rdy * rdy, 1e-16))
+        rst_sin1 = -rdy * inv_rr
+        rst_cos1 = -rdx * inv_rr
+        obs_sin = [
+            jnp.where(done, rst_sin0, trig2[1][0]),
+            jnp.where(done, rst_sin1, trig2[1][1]),
+        ]
+        obs_cos = [
+            jnp.where(done, rst_cos0, trig2[0][0]),
+            jnp.where(done, rst_cos1, trig2[0][1]),
+        ]
         obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
         for i in range(n):
             obs_rows += [
                 npos(x_out[i]), npos(y_out[i]),
-                jnp.sin(t_out[i]), jnp.cos(t_out[i]),
+                obs_sin[i], obs_cos[i],
                 nw(w_out[i]),
                 jnp.where(ir_out[i], 1.0, 0.0),
             ]

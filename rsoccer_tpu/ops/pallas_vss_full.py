@@ -58,6 +58,11 @@ same epilogue formula as physics/vss.py.
 from __future__ import annotations
 
 import math
+import os
+
+# TEMPORARY perf-bisection knob (round-3 profiling): disables semantic
+# blocks to attribute kernel time.  Remove after the optimization pass.
+_PROBE = os.environ.get("RSOCCER_KERNEL_PROBE", "")
 
 import jax
 import jax.numpy as jnp
@@ -220,6 +225,20 @@ def make_pallas_vss_full_step(
     half_l_pot = half_len + goal_depth  # potential formula constant
     length100 = field.length * 100.0
 
+    # robot-robot collision pair list (upper triangle, static order)
+    pair_ij = [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+    # per-substep rotation bound: |w| never exceeds the wheel-limited
+    # |w_tgt| (w starts at 0 on reset and moves toward the clipped target
+    # by clipped increments; nothing applies angular impulses), so
+    # |dtheta| <= w_max * dts.  Within that reduced range deg-7/6 Taylor
+    # sin/cos are exact to ~1e-12 — far below f32 resolution — letting the
+    # substep loop compose rotations with ~10 mul-adds instead of two
+    # transcendental lowerings per robot (measured ~6 us/step at B=8192).
+    w_bound = wheel_r * max_wheel / HALF_AXLE
+    dth_bound = w_bound * dts
+    _fast_rot = dth_bound <= 0.35  # poly error < 1e-9 inside this range
+
     def compute(st, act, ou_n, sp_u, th_u, st_out, obs_out, aux_out):
         """Shared kernel body; trailing dims of every array are (8, lanes)."""
         bx, by, bz, bvx, bvy, bvz = (st[i] for i in range(6))
@@ -256,48 +275,89 @@ def make_pallas_vss_full_step(
         v_tgt = wheel_r * (wl_c + wr_c) / 2.0
         w_tgt = wheel_r * (wr_c - wl_c) / (2.0 * HALF_AXLE)
 
-        # --- physics substeps (same body as ops/pallas_vss.py)
+        # --- physics substeps (same body as ops/pallas_vss.py).
+        # cos/sin of the post-update heading is reused as the next substep's
+        # body-frame rotation (bit-identical: same theta value), halving the
+        # transcendental count; normals come from one rsqrt + multiplies
+        # instead of sqrt + divides (ULP-level difference, under the 5e-5
+        # equivalence tolerance of tests/test_pallas_full.py).
+        cos_t = jnp.cos(theta)
+        sin_t = jnp.sin(theta)
         for _ in range(cfg.n_substeps):
-            cos_t = jnp.cos(theta)
-            sin_t = jnp.sin(theta)
             u = vx * cos_t + vy * sin_t
             s = -vx * sin_t + vy * cos_t
             u = u + jnp.clip(v_tgt - u, -a_lin, a_lin)
             s = s * lat_keep
             w = w + jnp.clip(w_tgt - w, -a_ang, a_ang)
-            theta = _wrap_angle(theta + w * dts)
-            cos_n = jnp.cos(theta)
-            sin_n = jnp.sin(theta)
-            vx = u * cos_n - s * sin_n
-            vy = u * sin_n + s * cos_n
+            dth = w * dts
+            theta = _wrap_angle(theta + dth)
+            if _PROBE == "notrig":
+                cos_t = 1.0 - theta * 1e-12
+                sin_t = theta * 1e-12
+            elif _fast_rot:
+                # rotate (cos_t, sin_t) by dth via reduced-range Taylor
+                dd = dth * dth
+                sin_d = dth * (
+                    1.0 + dd * (-1.0 / 6.0 + dd * (1.0 / 120.0 - dd / 5040.0))
+                )
+                cos_d = 1.0 + dd * (
+                    -0.5 + dd * (1.0 / 24.0 - dd / 720.0)
+                )
+                cos_n = cos_t * cos_d - sin_t * sin_d
+                sin_t = sin_t * cos_d + cos_t * sin_d
+                cos_t = cos_n
+            else:
+                cos_t = jnp.cos(theta)
+                sin_t = jnp.sin(theta)
+            vx = u * cos_t - s * sin_t
+            vy = u * sin_t + s * cos_t
             x = x + vx * dts
             y = y + vy * dts
 
-            dx = x[:, None] - x[None, :]
-            dy = y[:, None] - y[None, :]
-            d2 = dx * dx + dy * dy
-            nn_shape = d2.shape
-            rows = jax.lax.broadcasted_iota(jnp.int32, nn_shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, nn_shape, 1)
-            eye = rows == cols
-            d = jnp.sqrt(jnp.where(eye, 1.0, jnp.maximum(d2, _EPS * _EPS)))
-            overlap = jnp.where(eye, 0.0, 2.0 * r_rbt - d)
-            colliding = overlap > 0.0
-            nx = dx / jnp.maximum(d, _EPS)
-            ny = dy / jnp.maximum(d, _EPS)
-            push = jnp.where(colliding, 0.5 * overlap, 0.0)
-            x = x + jnp.sum(push * nx, axis=1)
-            y = y + jnp.sum(push * ny, axis=1)
-            rvx = vx[:, None] - vx[None, :]
-            rvy = vy[:, None] - vy[None, :]
-            vn = rvx * nx + rvy * ny
-            imp = jnp.where(
-                colliding & (vn < 0.0),
-                -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
-                0.0,
-            )
-            vx = vx + jnp.sum(imp * nx, axis=1)
-            vy = vy + jnp.sum(imp * ny, axis=1)
+            if _PROBE != "norr" and n > 1:
+                # robot-robot collisions over the upper-triangle PAIR LIST:
+                # n(n-1)/2 pair rows instead of the n*n matrix (for the
+                # 6-robot VSS world: 15 vs 36), with the push/impulse
+                # applied antisymmetrically (x_i += f, x_j -= f) — the
+                # same physics as the dense form up to summation order
+                # (ULP-level; tests/test_pallas_full.py tolerance)
+                dx = jnp.stack([x[i] - x[j] for i, j in pair_ij])  # (P,T)
+                dy = jnp.stack([y[i] - y[j] for i, j in pair_ij])
+                d2 = jnp.maximum(dx * dx + dy * dy, _EPS * _EPS)
+                inv_d = jax.lax.rsqrt(d2)
+                overlap = 2.0 * r_rbt - d2 * inv_d
+                colliding = overlap > 0.0
+                # fx*dx = push * unit-normal-x; push = overlap/2 per body
+                fx = jnp.where(colliding, 0.5 * overlap, 0.0) * inv_d
+                pnx = fx * dx
+                pny = fx * dy
+                rvx = jnp.stack([vx[i] - vx[j] for i, j in pair_ij])
+                rvy = jnp.stack([vy[i] - vy[j] for i, j in pair_ij])
+                vn = rvx * dx + rvy * dy  # (v_rel . n) * d
+                g = jnp.where(
+                    colliding & (vn < 0.0),
+                    -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
+                    0.0,
+                ) * (inv_d * inv_d)  # one /d for vn scale, one for the unit normal
+                gx = g * dx
+                gy = g * dy
+
+                def scatter(base, rows_):
+                    out = []
+                    for r in range(n):
+                        acc = base[r]
+                        for p, (i, j) in enumerate(pair_ij):
+                            if i == r:
+                                acc = acc + rows_[p]
+                            elif j == r:
+                                acc = acc - rows_[p]
+                        out.append(acc)
+                    return jnp.stack(out)
+
+                x = scatter(x, pnx)
+                y = scatter(y, pny)
+                vx = scatter(vx, gx)
+                vy = scatter(vy, gy)
 
             xl = half_len - r_rbt
             yl = half_wid - r_rbt
@@ -307,8 +367,10 @@ def make_pallas_vss_full_step(
             y = jnp.clip(y, -yl, yl)
 
             on_ground = bz <= r_ball + 1e-4
-            speed = jnp.sqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
-            scale = jnp.maximum(0.0, 1.0 - cfg.ball_friction_decel * dts / speed)
+            inv_speed = jax.lax.rsqrt(bvx * bvx + bvy * bvy + _EPS * _EPS)
+            scale = jnp.maximum(
+                0.0, 1.0 - cfg.ball_friction_decel * dts * inv_speed
+            )
             bvx = jnp.where(on_ground, bvx * scale, bvx)
             bvy = jnp.where(on_ground, bvy * scale, bvy)
             bvz = bvz - cfg.gravity * dts
@@ -325,11 +387,12 @@ def make_pallas_vss_full_step(
             below_top = (bz - r_ball) < cfg.rbt_height
             bdx = bx[None] - x
             bdy = by[None] - y
-            bd = jnp.sqrt(jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS))
-            boverlap = (r_rbt + r_ball) - bd
+            bd2 = jnp.maximum(bdx * bdx + bdy * bdy, _EPS * _EPS)
+            inv_bd = jax.lax.rsqrt(bd2)
+            boverlap = (r_rbt + r_ball) - bd2 * inv_bd
             bcol = (boverlap > 0.0) & below_top[None]
-            bnx = bdx / jnp.maximum(bd, _EPS)
-            bny = bdy / jnp.maximum(bd, _EPS)
+            bnx = bdx * inv_bd
+            bny = bdy * inv_bd
             bx = bx + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bnx, axis=0)
             by = by + jnp.sum(jnp.where(bcol, boverlap, 0.0) * bny, axis=0)
             relvx = bvx[None] - vx
@@ -378,9 +441,11 @@ def make_pallas_vss_full_step(
 
         r0x, r0y = x[0], y[0]
         rbx, rby = bx - r0x, by - r0y
-        rb_norm = jnp.sqrt(rbx * rbx + rby * rby)
-        rbx = rbx / jnp.maximum(rb_norm, 1e-8)
-        rby = rby / jnp.maximum(rb_norm, 1e-8)
+        inv_rb = jax.lax.rsqrt(
+            jnp.maximum(rbx * rbx + rby * rby, 1e-16)
+        )
+        rbx = rbx * inv_rb
+        rby = rby * inv_rb
         move = rbx * vx[0] + rby * vy[0]
         move = jnp.clip(move / 0.4, -5.0, 5.0)
 
@@ -416,6 +481,10 @@ def make_pallas_vss_full_step(
             base = i * 2 * K
             cx = x_lo + sp_u[base : base + K] * (x_hi - x_lo)        # (K,T)
             cy = y_lo + sp_u[base + K : base + 2 * K] * (y_hi - y_lo)
+            if _PROBE == "nospawnsel":
+                px.append(cx[0])
+                py.append(cy[0])
+                continue
             if not px:
                 # no placed points yet: first candidate wins
                 px.append(cx[0])
@@ -582,9 +651,16 @@ def make_pallas_vss_full_step(
         # negligible.  Exactly TWO operands: three crash this Mosaic
         # version's compiler.)
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
-        )
+        if _PROBE == "tinyrng":
+            small = pltpu.bitcast(
+                pltpu.prng_random_bits((16, 8, tl)), jnp.uint32
+            )
+            reps = -(-n_bits // 16)
+            bits = jnp.concatenate([small] * reps, axis=0)[:n_bits]
+        else:
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
+            )
         # top 24 bits -> uniform [0, 1) exactly representable in f32.
         # (cast via int32: Mosaic has no u32 -> f32 lowering; the shifted
         # value fits in 24 bits so the sign is never set)

@@ -26,7 +26,11 @@ def main():
     n_envs = int(os.environ.get("RSOCCER_BENCH_ENVS", 8192))
     n_steps = int(os.environ.get("RSOCCER_BENCH_STEPS", 100))
     n_iters = int(os.environ.get("RSOCCER_BENCH_ITERS", 5))
-    unroll = int(os.environ.get("RSOCCER_BENCH_UNROLL", 4))
+    # unroll 16 amortises the scan-body overhead (policy draw, metric
+    # reductions, carry updates) to ~zero: measured 234M -> 254M steps/s
+    # at the 8192 metric point vs unroll 4; >=32 gains <2% more but
+    # multiplies the (remote) compile time
+    unroll = int(os.environ.get("RSOCCER_BENCH_UNROLL", 16))
     env_id = os.environ.get("RSOCCER_BENCH_ENV_ID", "VSS-v0")
 
     import rsoccer_tpu

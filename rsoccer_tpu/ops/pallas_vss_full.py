@@ -637,10 +637,15 @@ def make_pallas_vss_full_step(
         )
     from jax.experimental.pallas import tpu as pltpu
 
-    n_uni = n_sp + n  # spawn candidate + heading rows
     n_nrm = 2 * n  # OU rows
-    n_bits = n_uni + 2 * n_nrm  # Box-Muller needs two uniforms per normal
+    # spawn-candidate uniforms are packed two-per-u32 (16-bit resolution:
+    # ~0.02 mm over the field span — far below any physical scale, and the
+    # kernel-RNG stream is documented as its own stream anyway); heading +
+    # Box-Muller uniforms keep the full 24 bits
+    n_sp_half = -(-n_sp // 2)
+    n_bits = n_sp_half + n + 2 * n_nrm
     two24 = 2.0 ** -24  # plain float: jnp scalars would be captured consts
+    two16 = 2.0 ** -16
 
     def kernel_rng(seed_ref, st_ref, act_ref, st_out, obs_out, aux_out):
         # distinct stream per step and per tile: both 32-bit words of the
@@ -661,17 +666,26 @@ def make_pallas_vss_full_step(
             bits = pltpu.bitcast(
                 pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
             )
-        # top 24 bits -> uniform [0, 1) exactly representable in f32.
-        # (cast via int32: Mosaic has no u32 -> f32 lowering; the shifted
-        # value fits in 24 bits so the sign is never set)
+        # (casts via int32: Mosaic has no u32 -> f32 lowering; shifted /
+        # masked values fit in 24 or 16 bits so the sign is never set)
+        sp_bits = bits[:n_sp_half]
+        sp_u = jnp.concatenate(
+            [
+                (sp_bits >> jnp.uint32(16)).astype(jnp.int32),
+                (sp_bits & jnp.uint32(0xFFFF)).astype(jnp.int32),
+            ],
+            axis=0,
+        )[:n_sp].astype(jnp.float32) * two16
+        # top 24 bits -> uniform [0, 1) exactly representable in f32
         uni = (
-            (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            (bits[n_sp_half:] >> jnp.uint32(8))
+            .astype(jnp.int32)
+            .astype(jnp.float32)
             * two24
         )
-        sp_u = uni[:n_sp]
-        th_u = uni[n_sp:n_uni]
-        u1 = jnp.maximum(uni[n_uni : n_uni + n_nrm], 1e-7)
-        u2 = uni[n_uni + n_nrm :]
+        th_u = uni[:n]
+        u1 = jnp.maximum(uni[n : n + n_nrm], 1e-7)
+        u2 = uni[n + n_nrm :]
         ou_n = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
         compute(st_ref[...], act_ref[...], ou_n, sp_u, th_u,
                 st_out, obs_out, aux_out)

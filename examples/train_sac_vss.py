@@ -40,6 +40,9 @@ def main():
     p.add_argument("--save", default="")
     p.add_argument("--reward-scale", type=float, default=1.0)
     p.add_argument("--target-entropy-scale", type=float, default=1.0)
+    p.add_argument("--n-step", type=int, default=1,
+                   help="n-step Q targets (sparse-terminal-reward fix)")
+    p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--log", default="", help="append JSONL curve points here")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=0,
@@ -55,6 +58,7 @@ def main():
             batch_size=512, warmup_steps=50, grad_steps_per_iter=2,
             reward_scale=args.reward_scale,
             target_entropy_scale=args.target_entropy_scale,
+            n_step=args.n_step, gamma=args.gamma,
         ),
     )
     state = trainer.init(jax.random.PRNGKey(0))

@@ -33,6 +33,14 @@ class SACConfig(NamedTuple):
     reward_scale: float = 1.0  # Q-target scale: lift tiny shaped rewards
     # above entropy-term noise (the standard SAC knob for tasks whose
     # per-step rewards are ~1e-2, e.g. the SSL shaping cascades)
+    n_step: int = 1  # n-step Q targets.  Insertion is env-major with a
+    # fixed stride (one batched step inserts all B envs contiguously), so
+    # env b's NEXT transition sits exactly B slots later in the ring —
+    # n-step chains are strided gathers, no sequence storage needed.
+    # Chains stop at episode boundaries (terminated OR truncated) and
+    # bootstrap from the last pre-boundary next_obs.  n_step=1 is exactly
+    # classic SAC.  The standard fix for sparse terminal rewards (the
+    # measured SAC failure mode on the SSL goal tasks — docs/training.md).
 
 
 class SquashedGaussianActor(nn.Module):
@@ -79,6 +87,8 @@ class Buffer(NamedTuple):
     reward: jnp.ndarray  # (C,)
     next_obs: jnp.ndarray  # (C, O)
     done: jnp.ndarray  # (C,) terminated only (not truncation)
+    boundary: jnp.ndarray  # (C,) episode end of ANY kind (term | trunc):
+    # the next same-env slot starts a fresh episode, so n-step chains stop
     ptr: jnp.ndarray
     filled: jnp.ndarray
 
@@ -90,11 +100,12 @@ class Buffer(NamedTuple):
             reward=jnp.zeros((capacity,)),
             next_obs=jnp.zeros((capacity, obs_size)),
             done=jnp.zeros((capacity,)),
+            boundary=jnp.zeros((capacity,)),
             ptr=jnp.zeros((), jnp.int32),
             filled=jnp.zeros((), jnp.int32),
         )
 
-    def add_batch(self, obs, action, reward, next_obs, done):
+    def add_batch(self, obs, action, reward, next_obs, done, boundary):
         """Insert B transitions at the circular pointer (B must divide C)."""
         b = obs.shape[0]
         c = self.obs.shape[0]
@@ -105,6 +116,7 @@ class Buffer(NamedTuple):
             reward=self.reward.at[idx].set(reward),
             next_obs=self.next_obs.at[idx].set(next_obs),
             done=self.done.at[idx].set(done),
+            boundary=self.boundary.at[idx].set(boundary),
             ptr=(self.ptr + b) % c,
             filled=jnp.minimum(self.filled + b, c),
         )
@@ -118,6 +130,47 @@ class Buffer(NamedTuple):
             take(self.obs), take(self.action), take(self.reward),
             take(self.next_obs), take(self.done),
         )
+
+    def sample_nstep(self, key, batch_size, stride, n_step, gamma):
+        """Sample n-step transitions: ``(obs, action, G, boot_obs,
+        boot_disc)`` with ``G = sum_k gamma^k r_k`` up to the first episode
+        boundary (inclusive) or ``n_step`` transitions, and ``boot_disc =
+        gamma^m * (1 - done_last)`` the bootstrap coefficient for
+        ``boot_obs`` (the last chained next_obs).  ``stride`` is the
+        insertion batch width B: env b's successor transition lives exactly
+        B slots later in the ring.  Chains are drawn only from the window
+        where all ``n_step`` links are stored (offset < filled - (n-1)*B
+        from the OLDEST element), so they never straddle the write head.
+        Reduces exactly to :meth:`sample` semantics at ``n_step=1``."""
+        c = self.obs.shape[0]
+        span = (n_step - 1) * stride
+        valid = jnp.maximum(self.filled - span, 1)
+        start = jnp.mod(self.ptr - self.filled, c)  # oldest element
+        off = jax.random.randint(key, (batch_size,), 0, valid)
+        base = jnp.mod(start + off, c)
+
+        g = jnp.zeros((batch_size,))
+        alive = jnp.ones((batch_size,))
+        boot_obs = jnp.zeros((batch_size, self.obs.shape[1]))
+        boot_disc = jnp.zeros((batch_size,))
+        for k in range(n_step):
+            pos = jnp.mod(base + k * stride, c)
+            r_k = self.reward[pos]
+            b_k = self.boundary[pos]
+            d_k = self.done[pos]
+            g = g + alive * (gamma**k) * r_k
+            # chain ends here if the episode ended, or we ran out of steps
+            is_last = alive * jnp.where(
+                (b_k > 0.0) | (k == n_step - 1), 1.0, 0.0
+            )
+            boot_obs = jnp.where(
+                is_last[:, None] > 0.0, self.next_obs[pos], boot_obs
+            )
+            boot_disc = jnp.where(
+                is_last > 0.0, (gamma ** (k + 1)) * (1.0 - d_k), boot_disc
+            )
+            alive = alive * (1.0 - b_k)
+        return self.obs[base], self.action[base], g, boot_obs, boot_disc
 
 
 class SACState(NamedTuple):
@@ -192,7 +245,9 @@ class SACTrainer:
             state.env_state, action.T, k_env
         )
         buffer = state.buffer.add_batch(
-            obs_bf, action, reward, next_obs.T, term.astype(jnp.float32)
+            obs_bf, action, reward, next_obs.T,
+            term.astype(jnp.float32),
+            (term | trunc).astype(jnp.float32),
         )
         return state._replace(
             buffer=buffer,
@@ -204,18 +259,19 @@ class SACTrainer:
     def _update(self, state: SACState, key):
         cfg = self.cfg
         k_s, k_next, k_pi = jax.random.split(key, 3)
-        obs, action, reward, next_obs, done = state.buffer.sample(
-            k_s, cfg.batch_size
+        obs, action, g, boot_obs, boot_disc = state.buffer.sample_nstep(
+            k_s, cfg.batch_size, self.benv.n_envs, cfg.n_step, cfg.gamma
         )
         alpha = jnp.exp(state.log_alpha)
 
-        # targets
-        n_mean, n_log_std = self.actor.apply(state.actor_params, next_obs)
+        # targets: G_n + gamma^m (1-done) V(boot_obs); at n_step=1 this is
+        # the classic  r + gamma (1-done) V(next_obs)
+        n_mean, n_log_std = self.actor.apply(state.actor_params, boot_obs)
         next_a, next_logp = sample_squashed(k_next, n_mean, n_log_std)
-        tq1 = self.q.apply(state.q1_target, next_obs, next_a)
-        tq2 = self.q.apply(state.q2_target, next_obs, next_a)
+        tq1 = self.q.apply(state.q1_target, boot_obs, next_a)
+        tq2 = self.q.apply(state.q2_target, boot_obs, next_a)
         target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
-        target_q = cfg.reward_scale * reward + cfg.gamma * (1.0 - done) * target_v
+        target_q = cfg.reward_scale * g + boot_disc * target_v
         target_q = jax.lax.stop_gradient(target_q)
 
         def q_loss(params):

@@ -14,15 +14,88 @@ def test_buffer_circular_and_sample():
     buf = Buffer.init(8, 3, 2)
     obs = jnp.arange(12.0).reshape(4, 3)
     act = jnp.ones((4, 2))
-    buf = buf.add_batch(obs, act, jnp.ones(4), obs + 1, jnp.zeros(4))
+    z = jnp.zeros(4)
+    buf = buf.add_batch(obs, act, jnp.ones(4), obs + 1, z, z)
     assert int(buf.ptr) == 4 and int(buf.filled) == 4
-    buf = buf.add_batch(obs, act, jnp.ones(4), obs + 1, jnp.zeros(4))
-    buf = buf.add_batch(obs + 100, act, jnp.ones(4), obs, jnp.zeros(4))
+    buf = buf.add_batch(obs, act, jnp.ones(4), obs + 1, z, z)
+    buf = buf.add_batch(obs + 100, act, jnp.ones(4), obs, z, z)
     assert int(buf.ptr) == 4 and int(buf.filled) == 8  # wrapped
     # slots 0..3 hold the newest (+100) batch
     np.testing.assert_allclose(np.asarray(buf.obs[0]), np.asarray(obs[0] + 100))
     o, a, r, no, d = buf.sample(jax.random.PRNGKey(0), 16)
     assert o.shape == (16, 3) and a.shape == (16, 2)
+
+
+def _chain_buffer(rewards, boundaries, dones, stride):
+    """Buffer holding one env's trajectory laid out with the given stride
+    (other env columns hold sentinel junk that a correct chain never reads)."""
+    t = len(rewards)
+    c = t * stride
+    buf = Buffer.init(c, 1, 1)
+    for k in range(t):
+        r = jnp.full((stride,), 999.0).at[0].set(rewards[k])
+        b = jnp.full((stride,), 1.0).at[0].set(boundaries[k])
+        d = jnp.full((stride,), 1.0).at[0].set(dones[k])
+        o = jnp.full((stride, 1), -1.0).at[0, 0].set(float(k))
+        no = jnp.full((stride, 1), -1.0).at[0, 0].set(float(k + 1))
+        buf = buf.add_batch(o, jnp.zeros((stride, 1)), r, no, d, b)
+    return buf
+
+
+def test_nstep_sampling_chains_and_boundaries():
+    # env-0 trajectory: r=[1,2,4,8], episode boundary (terminal) at step 2
+    gamma = 0.5
+    buf = _chain_buffer(
+        rewards=[1.0, 2.0, 4.0, 8.0],
+        boundaries=[0.0, 0.0, 1.0, 0.0],
+        dones=[0.0, 0.0, 1.0, 0.0],
+        stride=4,
+    )
+    # sample many; every draw starts at some step 0..1 of env 0 (steps with
+    # a full 3-link chain) or an env>0 slot (boundary=1 -> 1-step chain)
+    o, a, g, boot, disc = buf.sample_nstep(
+        jax.random.PRNGKey(0), 256, stride=4, n_step=3, gamma=gamma
+    )
+    o = np.asarray(o)[:, 0]
+    g = np.asarray(g)
+    boot = np.asarray(boot)[:, 0]
+    disc = np.asarray(disc)
+    for i in range(256):
+        if o[i] == 0.0:  # chain 1,2,4 hits terminal at k=2
+            assert g[i] == 1.0 + gamma * 2.0 + gamma**2 * 4.0
+            assert disc[i] == 0.0  # done at chain end: no bootstrap
+            assert boot[i] == 3.0  # next_obs of step 2
+        elif o[i] == 1.0:  # chain 2,4 -> terminal at k=1
+            assert g[i] == 2.0 + gamma * 4.0
+            assert disc[i] == 0.0
+            assert boot[i] == 3.0
+        else:  # sentinel env columns: boundary=1 everywhere -> 1-step
+            assert g[i] == 999.0
+            assert disc[i] == 0.0
+
+
+def test_nstep_one_matches_classic_sample_semantics():
+    # n_step=1 must produce (r, next_obs, gamma*(1-done)) per transition
+    gamma = 0.9
+    buf = _chain_buffer(
+        rewards=[3.0, 5.0],
+        boundaries=[0.0, 1.0],
+        dones=[0.0, 1.0],
+        stride=2,
+    )
+    o, a, g, boot, disc = buf.sample_nstep(
+        jax.random.PRNGKey(1), 128, stride=2, n_step=1, gamma=gamma
+    )
+    o = np.asarray(o)[:, 0]
+    g = np.asarray(g)
+    boot = np.asarray(boot)[:, 0]
+    disc = np.asarray(disc)
+    for i in range(128):
+        if o[i] == 0.0:
+            assert g[i] == 3.0 and boot[i] == 1.0
+            assert np.isclose(disc[i], gamma)  # not done: bootstrap
+        elif o[i] == 1.0:
+            assert g[i] == 5.0 and boot[i] == 2.0 and disc[i] == 0.0
 
 
 @pytest.fixture(scope="module")

@@ -58,11 +58,6 @@ same epilogue formula as physics/vss.py.
 from __future__ import annotations
 
 import math
-import os
-
-# TEMPORARY perf-bisection knob (round-3 profiling): disables semantic
-# blocks to attribute kernel time.  Remove after the optimization pass.
-_PROBE = os.environ.get("RSOCCER_KERNEL_PROBE", "")
 
 import jax
 import jax.numpy as jnp
@@ -291,10 +286,7 @@ def make_pallas_vss_full_step(
             w = w + jnp.clip(w_tgt - w, -a_ang, a_ang)
             dth = w * dts
             theta = _wrap_angle(theta + dth)
-            if _PROBE == "notrig":
-                cos_t = 1.0 - theta * 1e-12
-                sin_t = theta * 1e-12
-            elif _fast_rot:
+            if _fast_rot:
                 # rotate (cos_t, sin_t) by dth via reduced-range Taylor
                 dd = dth * dth
                 sin_d = dth * (
@@ -314,7 +306,7 @@ def make_pallas_vss_full_step(
             x = x + vx * dts
             y = y + vy * dts
 
-            if _PROBE != "norr" and n > 1:
+            if n > 1:
                 # robot-robot collisions over the upper-triangle PAIR LIST:
                 # n(n-1)/2 pair rows instead of the n*n matrix (for the
                 # 6-robot VSS world: 15 vs 36), with the push/impulse
@@ -481,10 +473,6 @@ def make_pallas_vss_full_step(
             base = i * 2 * K
             cx = x_lo + sp_u[base : base + K] * (x_hi - x_lo)        # (K,T)
             cy = y_lo + sp_u[base + K : base + 2 * K] * (y_hi - y_lo)
-            if _PROBE == "nospawnsel":
-                px.append(cx[0])
-                py.append(cy[0])
-                continue
             if not px:
                 # no placed points yet: first candidate wins
                 px.append(cx[0])
@@ -656,16 +644,9 @@ def make_pallas_vss_full_step(
         # negligible.  Exactly TWO operands: three crash this Mosaic
         # version's compiler.)
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
-        if _PROBE == "tinyrng":
-            small = pltpu.bitcast(
-                pltpu.prng_random_bits((16, 8, tl)), jnp.uint32
-            )
-            reps = -(-n_bits // 16)
-            bits = jnp.concatenate([small] * reps, axis=0)[:n_bits]
-        else:
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
-            )
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((n_bits, 8, tl)), jnp.uint32
+        )
         # (casts via int32: Mosaic has no u32 -> f32 lowering; shifted /
         # masked values fit in 24 or 16 bits so the sign is never set)
         sp_bits = bits[:n_sp_half]

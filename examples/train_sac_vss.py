@@ -43,6 +43,9 @@ def main():
     p.add_argument("--n-step", type=int, default=1,
                    help="n-step Q targets (sparse-terminal-reward fix)")
     p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--env-kwargs", default="{}",
+                   help="JSON kwargs for the TRAINING env (e.g. curriculum);"
+                   " evaluation always runs the default reference-exact env")
     p.add_argument("--log", default="", help="append JSONL curve points here")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=0,
@@ -50,7 +53,7 @@ def main():
     p.add_argument("--eval-envs", type=int, default=128)
     args = p.parse_args()
 
-    env = rsoccer_tpu.make(args.env_id)
+    env = rsoccer_tpu.make(args.env_id, **json.loads(args.env_kwargs))
     benv = BatchedEnv(env, args.envs)
     trainer = SACTrainer(
         benv,
@@ -66,9 +69,12 @@ def main():
 
     evaluate = None
     if args.eval_every:
-        eval_benv = BatchedEnv(env, args.eval_envs)
+        # default-constructed env: success is always reported on the
+        # reference-exact task even when training uses curriculum kwargs
+        eval_env = rsoccer_tpu.make(args.env_id)
+        eval_benv = BatchedEnv(eval_env, args.eval_envs)
         # fresh-reset rollout long enough for every lane to finish >=1 episode
-        eval_steps = env.max_episode_steps + env.max_episode_steps // 4
+        eval_steps = eval_env.max_episode_steps + eval_env.max_episode_steps // 4
 
         # params enter as a jit argument so one compiled program serves
         # every evaluation point along the curve

@@ -31,9 +31,19 @@ def _run(extra, check=True, timeout=420):
 
 
 def test_crash_resume_bit_identical(tmp_path):
+    _crash_resume_case(tmp_path, [])
+
+
+def test_crash_resume_bit_identical_sac(tmp_path):
+    # same snapshot/restore flow through the SAC TrainState (replay buffer
+    # included in the pytree)
+    _crash_resume_case(tmp_path, ["--algo", "sac"])
+
+
+def _crash_resume_case(tmp_path, extra):
     ck_a = str(tmp_path / "uninterrupted")
     ck_b = str(tmp_path / "crashy")
-    common = ["--updates", "9", "--every", "3", "--envs", "16"]
+    common = ["--updates", "9", "--every", "3", "--envs", "16", *extra]
 
     straight = _run(["--ckpt", ck_a, *common])
     ref = json.loads(straight.stdout.strip().splitlines()[-1])

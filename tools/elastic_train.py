@@ -58,12 +58,29 @@ def main():
     )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--algo", default="ppo", choices=["ppo", "sac"],
+        help="either learner: both TrainStates are pure pytrees and both "
+        "train_steps are pure functions of (state, fold_in key), so the "
+        "same snapshot/restore flow is bit-identical for both",
+    )
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
-    cfg = PPOConfig(rollout_steps=8, num_epochs=1, num_minibatches=2)
-    trainer = PPOTrainer(benv, cfg)
+    if args.algo == "sac":
+        from rsoccer_tpu.models.sac import SACConfig, SACTrainer
+
+        trainer = SACTrainer(
+            benv,
+            SACConfig(
+                buffer_size=1 << 10, batch_size=32, warmup_steps=2,
+                n_step=3,
+            ),
+        )
+    else:
+        cfg = PPOConfig(rollout_steps=8, num_epochs=1, num_minibatches=2)
+        trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     start = 0

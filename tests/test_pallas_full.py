@@ -276,3 +276,41 @@ def test_full_step_rollout_driver_compatible(interp_full):
     carry, ms = jax.jit(R.make_rollout_fn(ful, 20))(carry)
     assert np.isfinite(float(ms.total_reward))
     assert bool(jnp.isfinite(carry.obs).all())
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"field_type": 1, "n_robots_blue": 5, "n_robots_yellow": 5},
+        {"n_robots_blue": 1, "n_robots_yellow": 0},  # no collision pairs
+    ],
+)
+def test_full_step_matches_default_custom_configs(interp_full, kwargs):
+    """The VSS kernel is robot-count generic (pair lists, spawn rows,
+    state layout all derive from n) — pin equivalence on a 5v5 world and
+    the degenerate single-robot world."""
+    from rsoccer_tpu.envs import VSSEnv
+
+    env = VSSEnv(**kwargs)
+    env.max_episode_steps = 16  # force auto-resets through the kernel
+    ref = BatchedEnv(env, 8)
+    ful = BatchedEnv(env, 8, pallas_full=True, pallas_tile=8)
+    key = jax.random.PRNGKey(2)
+    s_ref, o_ref = ref.reset(key)
+    s_ful, o_ful = ful.reset(key)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_ful), atol=1e-6)
+    rng = np.random.default_rng(3)
+    for t in range(20):
+        acts = jnp.asarray(rng.uniform(-1, 1, (2, 8)), jnp.float32)
+        k = jax.random.PRNGKey(200 + t)
+        s_ref, o_r, rew_r, te_r, tr_r, _ = ref.step(s_ref, acts, k)
+        s_ful, o_f, rew_f, te_f, tr_f, _ = ful.step(s_ful, acts, k)
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"obs diverged at step {t} ({kwargs})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew_r), np.asarray(rew_f), atol=5e-5,
+        )
+        np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
+        np.testing.assert_array_equal(np.asarray(tr_r), np.asarray(tr_f))

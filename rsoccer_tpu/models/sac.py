@@ -159,9 +159,18 @@ class Buffer(NamedTuple):
             b_k = self.boundary[pos]
             d_k = self.done[pos]
             g = g + alive * (gamma**k) * r_k
-            # chain ends here if the episode ended, or we ran out of steps
+            # chain ends here if the episode ended, we ran out of steps, or
+            # the next link isn't stored yet (early filling, when the
+            # valid-window clamp above cannot exclude short chains — the
+            # chain then truncates here and bootstraps from THIS next_obs
+            # instead of reading unwritten slots)
+            next_unwritten = (
+                jnp.zeros((batch_size,), bool)
+                if k == n_step - 1
+                else (off + (k + 1) * stride) >= self.filled
+            )
             is_last = alive * jnp.where(
-                (b_k > 0.0) | (k == n_step - 1), 1.0, 0.0
+                (b_k > 0.0) | (k == n_step - 1) | next_unwritten, 1.0, 0.0
             )
             boot_obs = jnp.where(
                 is_last[:, None] > 0.0, self.next_obs[pos], boot_obs
@@ -169,7 +178,7 @@ class Buffer(NamedTuple):
             boot_disc = jnp.where(
                 is_last > 0.0, (gamma ** (k + 1)) * (1.0 - d_k), boot_disc
             )
-            alive = alive * (1.0 - b_k)
+            alive = alive * (1.0 - jnp.maximum(b_k, next_unwritten))
         return self.obs[base], self.action[base], g, boot_obs, boot_disc
 
 
@@ -241,11 +250,27 @@ class SACTrainer:
         action = jnp.where(
             state.total_steps < self.cfg.warmup_steps, a_rand, a_pol
         )
-        env_state, next_obs, reward, term, trunc, info = self.benv.step(
-            state.env_state, action.T, k_env
-        )
+        if self.benv.mode.get("pallas_full"):
+            # the fused kernel applies the auto-reset select in-kernel and
+            # cannot surface the pre-reset obs; on boundary transitions
+            # next_obs is the fresh episode's spawn obs.  Harmless for
+            # TERMINATED ends (done masks the bootstrap) but biases the
+            # bootstrap on TRUNCATED ends — train on the XLA path if that
+            # matters (the scripts do).
+            env_state, next_obs, reward, term, trunc, info = self.benv.step(
+                state.env_state, action.T, k_env
+            )
+            succ_obs = next_obs
+        else:
+            # true successor obs (pre-reset on episode ends): the replay
+            # must bootstrap truncated transitions from the FINAL obs of
+            # the episode, not the next episode's spawn
+            env_state, next_obs, final_obs, reward, term, trunc, info = (
+                self.benv.step_final(state.env_state, action.T, k_env)
+            )
+            succ_obs = final_obs
         buffer = state.buffer.add_batch(
-            obs_bf, action, reward, next_obs.T,
+            obs_bf, action, reward, succ_obs.T,
             term.astype(jnp.float32),
             (term | trunc).astype(jnp.float32),
         )

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 
 from rsoccer_tpu.core.state import BallState, RobotsState, WorldState
 from rsoccer_tpu.envs import spawn as spawn_mod
+from rsoccer_tpu.ops.pair_collide import resolve_pair_collisions
 from rsoccer_tpu.physics.ssl import wheel_jacobian
 
 _EPS = 1e-8
@@ -127,7 +128,7 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
 
     def physics(
         x, y, theta, vx, vy, w, ball6, tgt3, kick_vx, kick_vz, dribbler,
-        trig0=None,
+        trig0=None, n_active=None,
     ):
         """Returns ``(x, y, theta, vx, vy, w, ball6, infrared,
         (cos_t, sin_t))`` — the final heading trig rows are exposed so task
@@ -135,18 +136,22 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
         re-lowering transcendentals.  ``trig0`` optionally supplies
         ``(cos(theta), sin(theta))`` if the caller already computed them.
 
-        Heading trig is composed across substeps with reduced-range
-        Taylor sin/cos of the per-substep rotation ``w*dts`` (deg 7/6:
-        error < 1e-7 for |w*dts| <= 0.5 rad, i.e. |v_theta| <= 100 rad/s
-        at the 200 Hz substep — an order of magnitude beyond any in-box
-        task command, whose cap is max_w_cmd = 10).  Beyond that the
-        headings degrade gracefully (the XLA path is the reference
-        implementation for pathological out-of-box commands)."""
+        ``n_active`` (static) is the number of leading robot rows that can
+        receive a nonzero angular command.  Rows beyond it are contractually
+        angularly static (zero ``tw``, ``w`` starts at 0 on reset, and
+        nothing applies angular impulses, so ``w`` stays exactly 0 and
+        their heading trig never changes) — every reference SSL task
+        commands robot 0 only.  Active rows get EXACT sin/cos each substep
+        — correct at any command magnitude (the reference's SSL conversion
+        deliberately does not clip v_theta) — while the static majority
+        rides the carried trig, so the transcendental cost is
+        ``n_active``/``n`` of the naive loop."""
         bx, by, bz, bvx, bvy, bvz = ball6
         tu, tv, tw = tgt3
         contact_after = None
         n = x.shape[0]
-        pair_ij = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        if n_active is None:
+            n_active = n
         if trig0 is None:
             cos_t = jnp.cos(theta)
             sin_t = jnp.sin(theta)
@@ -158,61 +163,26 @@ def make_ssl_physics_body(field, cfg, dt: float, n_substeps: int):
             u = u + jnp.clip(tu - u, -a_lin, a_lin)
             s = s + jnp.clip(tv - s, -a_lin, a_lin)
             w = w + jnp.clip(tw - w, -a_ang, a_ang)
-            dth = w * dts
-            theta = _wrap_angle(theta + dth)
-            dd = dth * dth
-            sin_d = dth * (
-                1.0 + dd * (-1.0 / 6.0 + dd * (1.0 / 120.0 - dd / 5040.0))
-            )
-            cos_d = 1.0 + dd * (-0.5 + dd * (1.0 / 24.0 - dd / 720.0))
-            cos_n = cos_t * cos_d - sin_t * sin_d
-            sin_t = sin_t * cos_d + cos_t * sin_d
-            cos_t = cos_n
+            theta = _wrap_angle(theta + w * dts)
+            if n_active >= n:
+                cos_t = jnp.cos(theta)
+                sin_t = jnp.sin(theta)
+            else:
+                cos_t = jnp.concatenate(
+                    [jnp.cos(theta[:n_active]), cos_t[n_active:]], axis=0
+                )
+                sin_t = jnp.concatenate(
+                    [jnp.sin(theta[:n_active]), sin_t[n_active:]], axis=0
+                )
             vx = u * cos_t - s * sin_t
             vy = u * sin_t + s * cos_t
             x = x + vx * dts
             y = y + vy * dts
 
-            # robot-robot collisions over the upper-triangle pair list
-            # (n(n-1)/2 rows instead of the n*n matrix; antisymmetric
-            # push/impulse — same physics up to summation order)
-            if n > 1:
-                dxp = jnp.stack([x[i] - x[j] for i, j in pair_ij])
-                dyp = jnp.stack([y[i] - y[j] for i, j in pair_ij])
-                d2 = jnp.maximum(dxp * dxp + dyp * dyp, _EPS * _EPS)
-                inv_d = jax.lax.rsqrt(d2)
-                overlap = 2.0 * r_rbt - d2 * inv_d
-                colliding = overlap > 0.0
-                fx = jnp.where(colliding, 0.5 * overlap, 0.0) * inv_d
-                pnx = fx * dxp
-                pny = fx * dyp
-                rvx = jnp.stack([vx[i] - vx[j] for i, j in pair_ij])
-                rvy = jnp.stack([vy[i] - vy[j] for i, j in pair_ij])
-                vn = rvx * dxp + rvy * dyp  # (v_rel . n) * d
-                g = jnp.where(
-                    colliding & (vn < 0.0),
-                    -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
-                    0.0,
-                ) * (inv_d * inv_d)
-                gx = g * dxp
-                gy = g * dyp
-
-                def scatter(base, rows_):
-                    out = []
-                    for r in range(n):
-                        acc = base[r]
-                        for p, (i, j) in enumerate(pair_ij):
-                            if i == r:
-                                acc = acc + rows_[p]
-                            elif j == r:
-                                acc = acc - rows_[p]
-                        out.append(acc)
-                    return jnp.stack(out)
-
-                x = scatter(x, pnx)
-                y = scatter(y, pny)
-                vx = scatter(vx, gx)
-                vy = scatter(vy, gy)
+            # robot-robot collisions: shared pair-list resolver
+            x, y, vx, vy = resolve_pair_collisions(
+                x, y, vx, vy, r_rbt, cfg.rest_robot_robot
+            )
 
             # ball: friction (grounded), dribbler pull, vertical, integrate
             on_ground = bz <= r_ball + 1e-4
@@ -573,7 +543,7 @@ def make_pallas_sd_full_step(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
-            trig0=(cos_all, sin_all),
+            trig0=(cos_all, sin_all), n_active=1,
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -901,7 +871,7 @@ def make_pallas_cp_full_step(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
-            trig0=(cos_all, sin_all),
+            trig0=(cos_all, sin_all), n_active=1,
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -1137,7 +1107,7 @@ def make_pallas_dr_full_step(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
             (tu, tv, tw), kick_vx, kick_vz, dribbler,
-            trig0=(cos_all, sin_all),
+            trig0=(cos_all, sin_all), n_active=1,
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 
@@ -1348,7 +1318,7 @@ def make_pallas_pe_full_step(
         x2, y2, theta2, vx2, vy2, w2, ball2, infrared, trig2 = physics(
             x, y, theta, vx, vy, w,
             (bx0, by0, bz0, bvx0, bvy0, bvz0),
-            (tu, tv, tw), kick_vx, kick_vz, dribbler,
+            (tu, tv, tw), kick_vx, kick_vz, dribbler, n_active=1,
         )
         bx, by, bz, bvx, bvy, bvz = ball2
 

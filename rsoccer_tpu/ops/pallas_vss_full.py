@@ -66,6 +66,7 @@ from jax.experimental import pallas as pl
 from rsoccer_tpu.core.state import BallState, RobotsState, WorldState
 from rsoccer_tpu.envs import spawn as spawn_mod
 from rsoccer_tpu.envs.ou import OU_THETA
+from rsoccer_tpu.ops.pair_collide import resolve_pair_collisions
 from rsoccer_tpu.physics.vss import HALF_AXLE
 
 _EPS = 1e-8
@@ -220,9 +221,6 @@ def make_pallas_vss_full_step(
     half_l_pot = half_len + goal_depth  # potential formula constant
     length100 = field.length * 100.0
 
-    # robot-robot collision pair list (upper triangle, static order)
-    pair_ij = [(i, j) for i in range(n) for j in range(i + 1, n)]
-
     # per-substep rotation bound: |w| never exceeds the wheel-limited
     # |w_tgt| (w starts at 0 on reset and moves toward the clipped target
     # by clipped increments; nothing applies angular impulses), so
@@ -306,50 +304,11 @@ def make_pallas_vss_full_step(
             x = x + vx * dts
             y = y + vy * dts
 
-            if n > 1:
-                # robot-robot collisions over the upper-triangle PAIR LIST:
-                # n(n-1)/2 pair rows instead of the n*n matrix (for the
-                # 6-robot VSS world: 15 vs 36), with the push/impulse
-                # applied antisymmetrically (x_i += f, x_j -= f) — the
-                # same physics as the dense form up to summation order
-                # (ULP-level; tests/test_pallas_full.py tolerance)
-                dx = jnp.stack([x[i] - x[j] for i, j in pair_ij])  # (P,T)
-                dy = jnp.stack([y[i] - y[j] for i, j in pair_ij])
-                d2 = jnp.maximum(dx * dx + dy * dy, _EPS * _EPS)
-                inv_d = jax.lax.rsqrt(d2)
-                overlap = 2.0 * r_rbt - d2 * inv_d
-                colliding = overlap > 0.0
-                # fx*dx = push * unit-normal-x; push = overlap/2 per body
-                fx = jnp.where(colliding, 0.5 * overlap, 0.0) * inv_d
-                pnx = fx * dx
-                pny = fx * dy
-                rvx = jnp.stack([vx[i] - vx[j] for i, j in pair_ij])
-                rvy = jnp.stack([vy[i] - vy[j] for i, j in pair_ij])
-                vn = rvx * dx + rvy * dy  # (v_rel . n) * d
-                g = jnp.where(
-                    colliding & (vn < 0.0),
-                    -(1.0 + cfg.rest_robot_robot) * 0.5 * vn,
-                    0.0,
-                ) * (inv_d * inv_d)  # one /d for vn scale, one for the unit normal
-                gx = g * dx
-                gy = g * dy
-
-                def scatter(base, rows_):
-                    out = []
-                    for r in range(n):
-                        acc = base[r]
-                        for p, (i, j) in enumerate(pair_ij):
-                            if i == r:
-                                acc = acc + rows_[p]
-                            elif j == r:
-                                acc = acc - rows_[p]
-                        out.append(acc)
-                    return jnp.stack(out)
-
-                x = scatter(x, pnx)
-                y = scatter(y, pny)
-                vx = scatter(vx, gx)
-                vy = scatter(vy, gy)
+            # robot-robot collisions: shared pair-list resolver
+            # (ops/pair_collide.py — one implementation for both leagues)
+            x, y, vx, vy = resolve_pair_collisions(
+                x, y, vx, vy, r_rbt, cfg.rest_robot_robot
+            )
 
             xl = half_len - r_rbt
             yl = half_wid - r_rbt

@@ -175,3 +175,35 @@ def test_freeze_obs_norm():
     state2, _ = jax.jit(trainer.train_step)(state, jax.random.PRNGKey(1))
     assert bool(jnp.all(state2.obs_norm.mean == state.obs_norm.mean))
     assert float(state2.obs_norm.count) == float(state.obs_norm.count)
+
+
+def test_time_minibatch_mode_runs_and_updates():
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 16)
+    cfg = PPOConfig(
+        rollout_steps=8, num_epochs=2, num_minibatches=2,
+        minibatch_mode="time",
+    )
+    trainer = PPOTrainer(benv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    new_state, metrics = jax.jit(trainer.train_step)(
+        state, jax.random.PRNGKey(1)
+    )
+    for k in ("loss", "policy_loss", "value_loss", "entropy", "mean_reward"):
+        assert np.isfinite(float(metrics[k])), k
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_time_minibatch_mode_requires_divisibility():
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 16)
+    cfg = PPOConfig(
+        rollout_steps=9, num_epochs=1, num_minibatches=2,
+        minibatch_mode="time",
+    )
+    trainer = PPOTrainer(benv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(trainer.train_step)(state, jax.random.PRNGKey(1))

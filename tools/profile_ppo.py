@@ -27,6 +27,7 @@ def main():
     p.add_argument("--envs", type=int, default=4096)
     p.add_argument("--env-id", default="SSLStaticDefenders-v0")
     p.add_argument("--rollout-steps", type=int, default=128)
+    p.add_argument("--minibatch-mode", default="shuffle")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--out", default="/tmp/rsoccer_ppo_trace")
     args = p.parse_args()
@@ -42,7 +43,11 @@ def main():
     env = rsoccer_tpu.make(args.env_id)
     benv = BatchedEnv(env, args.envs)
     trainer = PPOTrainer(
-        benv, PPOConfig(rollout_steps=args.rollout_steps)
+        benv,
+        PPOConfig(
+            rollout_steps=args.rollout_steps,
+            minibatch_mode=args.minibatch_mode,
+        ),
     )
     state = trainer.init(jax.random.PRNGKey(0))
     step = jax.jit(trainer.train_step, donate_argnums=0)

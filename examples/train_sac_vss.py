@@ -46,6 +46,11 @@ def main():
     p.add_argument("--env-kwargs", default="{}",
                    help="JSON kwargs for the TRAINING env (e.g. curriculum);"
                    " evaluation always runs the default reference-exact env")
+    p.add_argument("--state-save", default="",
+                   help="save the FULL SACState (replay buffer included) at"
+                   " every eval point; crash insurance for long runs")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from --state-save if its meta file exists")
     p.add_argument("--log", default="", help="append JSONL curve points here")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=0,
@@ -94,12 +99,25 @@ def main():
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
 
-    key = jax.random.PRNGKey(1)
-    ekey = jax.random.PRNGKey(2)
+    base_key = jax.random.PRNGKey(1)
+    base_ekey = jax.random.PRNGKey(2)
+    start = 0
+    if args.resume and args.state_save:
+        import os as _os
+
+        if _os.path.exists(args.state_save + ".meta.json"):
+            with open(args.state_save + ".meta.json") as f:
+                start = json.load(f)["iter"] + 1
+            state = jax.tree.map(
+                jax.numpy.asarray, checkpoint.restore(args.state_save, like=state)
+            )
+            print(f"resumed full SAC state from {args.state_save} @ iter {start}")
     t0 = time.perf_counter()
     spi = args.envs * trainer.cfg.env_steps_per_iter
-    for i in range(args.iters):
-        key, k = jax.random.split(key)
+    for i in range(start, args.iters):
+        # fold_in by iter index: a resumed run consumes the same key
+        # stream an uninterrupted one would (see tools/elastic_train.py)
+        k = jax.random.fold_in(base_key, i)
         state, m = step(state, k)
         last = i == args.iters - 1
         if i % max(1, args.iters // 10) == 0 or last:
@@ -116,7 +134,7 @@ def main():
                 "alpha": float(m["alpha"]),
             })
         if evaluate is not None and ((i + 1) % args.eval_every == 0 or last):
-            ekey, sub = jax.random.split(ekey)
+            sub = jax.random.fold_in(base_ekey, i)
             ms = evaluate(sub, state.actor_params)
             rec = {
                 "iter": i, "env_steps": (i + 1) * spi,
@@ -127,6 +145,13 @@ def main():
             emit(rec)
             if args.save:
                 checkpoint.save(args.save, state.actor_params)
+            if args.state_save:
+                # full TrainState (replay buffer included): --resume
+                # continues a cut run from here
+                jax.block_until_ready(state.total_steps)
+                checkpoint.save(args.state_save, state)
+                with open(args.state_save + ".meta.json", "w") as f:
+                    json.dump({"iter": i}, f)
     steps = args.iters * spi
     print(f"{steps/1e6:.2f}M env-steps in {time.perf_counter()-t0:.0f}s")
 

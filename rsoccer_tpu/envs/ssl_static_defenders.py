@@ -53,8 +53,22 @@ class SSLStaticDefendersEnv(SSLTaskBase):
     action_size = 5
     max_episode_steps = 1000  # rsoccer_gym/__init__.py:11
 
-    def __init__(self, field_type: int = 2, time_step: float = 0.025):
+    def __init__(
+        self,
+        field_type: int = 2,
+        time_step: float = 0.025,
+        curriculum: bool = False,
+    ):
+        """``curriculum=True`` (training-time extension, NOT part of the
+        reference surface) oversamples contested spawns: with probability
+        1/2 the ball is relocated 0.21-0.50 m from defender 0.  Failure
+        analysis of the ~87%-plateau policies (docs/training.md) shows the
+        residual losses concentrate exactly there (65% goal rate when a
+        defender spawns within 0.3 m of the ball vs 95% when clear), and
+        such spawns are only ~4% of the reference distribution — too rare
+        to learn from.  Evaluation must use the default env."""
         super().__init__(field_type, n_blue=1, n_yellow=6, time_step=time_step)
+        self.curriculum = curriculum
         self.obs_size = 4 + 8 * self.n_blue + 2 * self.n_yellow
         f = self.field
         # reward scales (reference static_defenders.py:64-73)
@@ -69,11 +83,14 @@ class SSLStaticDefendersEnv(SSLTaskBase):
 
     # ---------------------------------------------------------------- noise
     def reset_noise_spec(self):
-        return {
+        spec = {
             "ball": ((2, spawn.N_CANDIDATES), "uniform"),
             "spawn": ((self.n_yellow, 2, spawn.N_CANDIDATES), "uniform"),
             "theta": ((self.n_yellow,), "uniform"),
         }
+        if self.curriculum:
+            spec["cur"] = ((3,), "uniform")  # gate, radius, angle
+        return spec
 
     # ---------------------------------------------------------------- reset
     def reset_state(self, noise):
@@ -97,6 +114,24 @@ class SSLStaticDefendersEnv(SSLTaskBase):
             min_dist=0.2,
             preplaced_x=[ball_x, 0.0], preplaced_y=[ball_y, 0.0],
         )
+
+        if self.curriculum:
+            # contested-spawn oversampling: half the resets relocate the
+            # ball next to defender 0 (see __init__ docstring); keep the
+            # original spawn when the relocated point would be illegal
+            gate, r_u, phi_u = noise["cur"][0], noise["cur"][1], noise["cur"][2]
+            r = 0.21 + r_u * 0.29
+            phi = phi_u * (2.0 * jnp.pi)
+            cx = yx[0] + r * jnp.cos(phi)
+            cy = yy[0] + r * jnp.sin(phi)
+            cx = jnp.clip(cx, 0.2, half_len - 0.1)
+            cy = jnp.clip(cy, -half_wid + 0.1, half_wid - 0.1)
+            legal = ~(
+                (cx > half_len - pen_len) & (jnp.abs(cy) < half_pen_wid)
+            )
+            use = (gate < 0.5) & legal
+            ball_x = jnp.where(use, cx, ball_x)
+            ball_y = jnp.where(use, cy, ball_y)
 
         thetas = spawn.angles_from_uniform(noise["theta"])
         world = self.make_world(

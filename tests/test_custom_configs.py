@@ -84,3 +84,35 @@ def test_multiagent_vss_batched():
     acts = jnp.zeros((6, 8))
     ns, obs2, r, te, tr, info = jax.jit(benv.step)(state, acts, jax.random.PRNGKey(1))
     assert obs2.shape == (40, 8)
+
+
+def test_sd_curriculum_oversamples_contested_spawns():
+    """Training-time kwarg: ~half the resets put the ball 0.21-0.5 m from
+    defender 0; the default env keeps the reference spawn distribution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+    from rsoccer_tpu.envs.ssl_static_defenders import SSLStaticDefendersEnv
+
+    def near_frac(env, n=512):
+        benv = BatchedEnv(env, n)
+        state, _ = benv.reset(jax.random.PRNGKey(0))
+        bx, by = state.world.ball.x, state.world.ball.y
+        dx = state.world.robots.x[1:] - bx[None]
+        dy = state.world.robots.y[1:] - by[None]
+        dmin = jnp.sqrt(dx * dx + dy * dy).min(axis=0)
+        # spawns legal in both modes
+        assert float(bx.min()) >= 0.2 - 1e-6
+        f = env.field
+        in_gk = (bx > f.half_length - f.penalty_length) & (
+            jnp.abs(by) < f.penalty_width / 2
+        )
+        assert not bool(in_gk.any())
+        return float((dmin < 0.55).mean())
+
+    base = near_frac(SSLStaticDefendersEnv())
+    cur = near_frac(SSLStaticDefendersEnv(curriculum=True))
+    assert base < 0.25, base      # rare under the reference distribution
+    assert cur > 0.35, cur        # ~half under the curriculum

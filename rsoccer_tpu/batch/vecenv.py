@@ -281,6 +281,11 @@ class BatchedEnv:
             info,
         )
 
+    @property
+    def supports_step_final(self) -> bool:
+        """Whether :meth:`step_final` is available on this path."""
+        return self._full is None
+
     def step_final(self, state, actions, key):
         """Auto-resetting step that also returns the final pre-reset obs
         (gymnasium same-step autoreset convention).  Returns

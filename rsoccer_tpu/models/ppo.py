@@ -112,7 +112,14 @@ class Transition(NamedTuple):
     logp: jnp.ndarray  # (B,)
     value: jnp.ndarray  # (B,)
     reward: jnp.ndarray  # (B,)
-    done: jnp.ndarray  # (B,)
+    term: jnp.ndarray  # (B,) terminated (true episode end)
+    trunc: jnp.ndarray  # (B,) truncated (TimeLimit cut, not terminal)
+    # V(final pre-reset obs) — the correct GAE bootstrap on truncated
+    # lanes.  Gymnasium truncation semantics (the reference inherits them
+    # via TimeLimit, rsoccer_gym/__init__.py:4): a truncated episode is
+    # NOT terminal, so returns must bootstrap from the value of the last
+    # observation of the old episode, not zero and not the fresh spawn.
+    boot_value: jnp.ndarray  # (B,)
 
 
 class PPOTrainer:
@@ -170,12 +177,30 @@ class PPOTrainer:
             # command conversion does NOT clip, e.g. v_theta
             # static_defenders.py:142) — clip at the env boundary like SB3
             # does, keeping the unclipped sample for the log-prob
-            ns, nobs, reward, term, trunc, info = self.benv.step(
-                env_state, jnp.clip(action.T, -1.0, 1.0), env_step_key
-            )
+            act = jnp.clip(action.T, -1.0, 1.0)
+            if self.benv.supports_step_final:
+                ns, nobs, fobs, reward, term, trunc, info = (
+                    self.benv.step_final(env_state, act, env_step_key)
+                )
+                net_fobs = (
+                    obs_norm.normalize(fobs.T)
+                    if self.cfg.normalize_obs
+                    else fobs.T
+                )
+                # value of the pre-reset obs; only the value head survives
+                # DCE here (mean/log_std outputs are unused)
+                _, _, boot_value = self.net.apply(params, net_fobs)
+            else:
+                ns, nobs, reward, term, trunc, info = self.benv.step(
+                    env_state, act, env_step_key
+                )
+                boot_value = jnp.zeros_like(value)
             t = Transition(
                 obs=net_obs, action=action, logp=logp, value=value,
-                reward=reward, done=(term | trunc).astype(jnp.float32),
+                reward=reward,
+                term=term.astype(jnp.float32),
+                trunc=trunc.astype(jnp.float32),
+                boot_value=boot_value,
             )
             return (ns, nobs, env_key, o_sum, o_sq), t
 
@@ -194,10 +219,14 @@ class PPOTrainer:
 
         def backward(carry, t):
             gae, next_value = carry
-            delta = (
-                t.reward + cfg.gamma * next_value * (1.0 - t.done) - t.value
-            )
-            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - t.done) * gae
+            # truncated-but-not-terminated lanes bootstrap from the value
+            # of the final pre-reset obs (next_value in the carry is the
+            # NEXT episode's spawn there); terminated lanes don't bootstrap
+            # at all — gymnasium semantics, terminal dominates when both
+            nv = jnp.where(t.trunc > 0.5, t.boot_value, next_value)
+            delta = t.reward + cfg.gamma * nv * (1.0 - t.term) - t.value
+            done = jnp.maximum(t.term, t.trunc)
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - done) * gae
             return (gae, t.value), gae
 
         (_, _), advantages = jax.lax.scan(
@@ -349,7 +378,7 @@ class PPOTrainer:
         out_metrics = {
             **jax.tree.map(lambda m: m[-1, -1], metrics),
             "mean_reward": traj.reward.mean(),
-            "mean_episode_ends": traj.done.sum(),
+            "mean_episode_ends": jnp.maximum(traj.term, traj.trunc).sum(),
         }
         return new_state, out_metrics
 

@@ -82,6 +82,27 @@ class SelfPlayBatchedEnv:
         inner, obs, reward, term, trunc, info = self.benv.step(inner, full, key)
         return (inner, opp), obs, reward, term, trunc, info
 
+    @property
+    def supports_step_final(self) -> bool:
+        return self.benv.supports_step_final
+
+    def step_final(self, state, blue_actions, key):
+        """Like :meth:`step` but also returns the final pre-reset obs
+        (PPO bootstraps truncated lanes from its value)."""
+        inner, opp = state
+        opp_obs = self._opp_obs_v(inner)
+        o = jnp.clip(
+            (opp_obs.T - opp.norm_mean) / jnp.sqrt(opp.norm_var + 1e-8),
+            -10.0, 10.0,
+        )
+        mean, _log_std, _v = self.net.apply(opp.params, o)
+        yellow_actions = jnp.clip(mean.T, -1.0, 1.0)
+        full = jnp.concatenate([blue_actions, yellow_actions], axis=0)
+        inner, obs, fobs, reward, term, trunc, info = self.benv.step_final(
+            inner, full, key
+        )
+        return (inner, opp), obs, fobs, reward, term, trunc, info
+
     # ----------------------------------------------------------- opponents
     def payload_from(self, params, obs_norm=None) -> OpponentPayload:
         """Snapshot the given params (+ optional models.ppo.ObsNorm).

@@ -72,7 +72,8 @@ def test_gae_analytic():
     traj = Transition(
         obs=jnp.zeros((T, B, 40)), action=jnp.zeros((T, B, 2)),
         logp=jnp.zeros((T, B)), value=values, reward=rewards,
-        done=jnp.zeros((T, B)),
+        term=jnp.zeros((T, B)), trunc=jnp.zeros((T, B)),
+        boot_value=jnp.zeros((T, B)),
     )
     last_value = jnp.asarray([0.4])
     adv, ret = tr._gae(traj, last_value)
@@ -90,6 +91,77 @@ def test_gae_analytic():
     np.testing.assert_allclose(
         np.asarray(ret)[:, 0], np.asarray(adv)[:, 0] + [0.2, 0.3, 0.1],
         rtol=1e-5,
+    )
+
+
+def test_gae_truncation_bootstrap():
+    """A truncated (not terminated) step bootstraps from V(final pre-reset
+    obs), and GAE accumulation is cut at the boundary; a terminated step
+    bootstraps from nothing."""
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 1)
+    cfg = PPOConfig(gamma=0.9, gae_lambda=0.8)
+    tr = PPOTrainer(benv, cfg)
+    from rsoccer_tpu.models.ppo import Transition
+
+    T, B = 4, 1
+    rewards = jnp.asarray([[1.0], [0.5], [2.0], [-1.0]])
+    values = jnp.asarray([[0.2], [0.3], [0.1], [0.6]])
+    # step 1 truncated with V(final obs)=0.7; step 2 terminated
+    trunc = jnp.asarray([[0.0], [1.0], [0.0], [0.0]])
+    term = jnp.asarray([[0.0], [0.0], [1.0], [0.0]])
+    boot = jnp.asarray([[0.0], [0.7], [0.0], [0.0]])
+    traj = Transition(
+        obs=jnp.zeros((T, B, 40)), action=jnp.zeros((T, B, 2)),
+        logp=jnp.zeros((T, B)), value=values, reward=rewards,
+        term=term, trunc=trunc, boot_value=boot,
+    )
+    last_value = jnp.asarray([0.4])
+    adv, _ = tr._gae(traj, last_value)
+
+    g, lam = 0.9, 0.8
+    # backward, by hand:
+    d3 = -1.0 + g * 0.4 - 0.6
+    a3 = d3
+    d2 = 2.0 + g * 0.0 - 0.1          # terminated: no bootstrap
+    a2 = d2                            # cut
+    d1 = 0.5 + g * 0.7 - 0.3           # truncated: bootstrap from boot=0.7
+    a1 = d1                            # cut (no leak from a2)
+    d0 = 1.0 + g * 0.3 - 0.2
+    a0 = d0 + g * lam * a1
+    np.testing.assert_allclose(
+        np.asarray(adv)[:, 0], [a0, a1, a2, a3], rtol=1e-5
+    )
+
+
+def test_rollout_truncation_uses_final_obs_value():
+    """The rollout stores a boot_value equal to V(normalised final obs) on
+    every step (checked at a real TimeLimit truncation boundary)."""
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 4)
+    cfg = PPOConfig(rollout_steps=6, normalize_obs=False)
+    tr = PPOTrainer(benv, cfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    # force lanes close to the step limit so the scan crosses a truncation
+    env_state = state.env_state._replace(
+        steps=jnp.full_like(state.env_state.steps, env.max_episode_steps - 3)
+    )
+    _, _, _, _, traj = tr._rollout(
+        state.params, env_state, state.obs, state.env_key,
+        state.obs_norm, jax.random.PRNGKey(1),
+    )
+    trunc = np.asarray(traj.trunc)
+    assert trunc.sum() >= 4, "expected every lane to truncate in-rollout"
+    # boot_value must NOT equal the value of the post-reset obs: recompute
+    # V on the stored (pre-step) obs of the step AFTER the truncation; if
+    # the rollout had bootstrapped from the spawn obs these would match.
+    t_idx, b_idx = np.argwhere(trunc > 0.5)[0]
+    assert t_idx + 1 < trunc.shape[0]
+    _, _, v_spawn = tr.net.apply(
+        state.params, jnp.asarray(traj.obs[t_idx + 1, b_idx])[None]
+    )
+    assert not np.allclose(
+        float(traj.boot_value[t_idx, b_idx]), float(v_spawn[0]), atol=1e-6
     )
 
 

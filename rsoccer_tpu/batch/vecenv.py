@@ -95,6 +95,7 @@ class BatchedEnv:
         )
         self._pallas = None
         self._full = None
+        self._full_final = None  # emit_final_obs kernel variant
         # largest tile that divides the batch and is <= the requested tile
         # (math.gcd), so e.g. n_envs=3072 works with the 2048 default
         import math
@@ -132,7 +133,11 @@ class BatchedEnv:
                 unpack_vss_state,
             )
 
-            self._full = make_pallas_vss_full_step(env, b, tile=tile, rng=rng)
+            self._full_make = lambda emit: make_pallas_vss_full_step(
+                env, b, tile=tile, rng=rng, emit_final_obs=emit
+            )
+            self._full = self._full_make(False)
+            self._full_final = self._full_make(True)
             self._pack = pack_vss_state
             self._unpack = lambda s: unpack_vss_state(
                 s, n, env.field.rbt_wheel_radius
@@ -154,7 +159,11 @@ class BatchedEnv:
             )
             from rsoccer_tpu.ops import pallas_ssl_full as psf
 
-            self._full = psf.make_pallas_sd_full_step(env, b, tile=tile, rng=rng)
+            self._full_make = lambda emit: psf.make_pallas_sd_full_step(
+                env, b, tile=tile, rng=rng, emit_final_obs=emit
+            )
+            self._full = self._full_make(False)
+            self._full_final = self._full_make(True)
             self._pack = psf.pack_sd_state
             self._unpack = lambda s: psf.unpack_sd_state(s, env)
             self._info_keys = SD_KEYS
@@ -185,21 +194,33 @@ class BatchedEnv:
 
         b = n_envs
         if type(env) is SSLContestedPossessionEnv:
-            self._full = psf.make_pallas_cp_full_step(env, b, tile=tile, rng=rng)
+            self._full_make = lambda emit: psf.make_pallas_cp_full_step(
+                env, b, tile=tile, rng=rng, emit_final_obs=emit
+            )
+            self._full = self._full_make(False)
+            self._full_final = self._full_make(True)
             self._pack = psf.pack_cp_state
             self._unpack = lambda s: psf.unpack_cp_state(s, env)
             self._info_keys = CP_KEYS
             self._pack_noise = lambda t, r: (r["enemy"].reshape(-1, b),)
             return True
         if type(env) is SSLDribblingEnv:
-            self._full = psf.make_pallas_dr_full_step(env, b, tile=tile, rng=rng)
+            self._full_make = lambda emit: psf.make_pallas_dr_full_step(
+                env, b, tile=tile, rng=rng, emit_final_obs=emit
+            )
+            self._full = self._full_make(False)
+            self._full_final = self._full_make(True)
             self._pack = psf.pack_dr_state
             self._unpack = lambda s: psf.unpack_dr_state(s, env)
             self._info_keys = ()
             self._pack_noise = lambda t, r: ()
             return True
         if type(env) is SSLPassEnduranceEnv:
-            self._full = psf.make_pallas_pe_full_step(env, b, tile=tile, rng=rng)
+            self._full_make = lambda emit: psf.make_pallas_pe_full_step(
+                env, b, tile=tile, rng=rng, emit_final_obs=emit
+            )
+            self._full = self._full_make(False)
+            self._full_final = self._full_make(True)
             self._pack = psf.pack_pe_state
             self._unpack = lambda s: psf.unpack_pe_state(s, env)
             self._info_keys = PE_KEYS
@@ -233,8 +254,8 @@ class BatchedEnv:
             return self._pallas_step(state, actions, t_noise, r_noise)
         return self._step_v(state, actions, t_noise, r_noise)
 
-    def _full_step(self, state, actions, key):
-        """One fused kernel launch: state stays in kernel layout."""
+    def _full_invoke(self, kernel, state, actions, key):
+        """Run a fused kernel variant with the step's noise/seed."""
         import jax.numpy as jnp
 
         if self._full_rng == "kernel":
@@ -244,19 +265,23 @@ class BatchedEnv:
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(key, (2,), jnp.uint32), jnp.int32
             )
-            st, obs, aux = self._full(state, actions, seed)
-        else:
-            kt, kr = jax.random.split(key)
-            t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
-            r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
-            st, obs, aux = self._full(
-                state, actions, *self._pack_noise(t_noise, r_noise)
-            )
+            return kernel(state, actions, seed)
+        kt, kr = jax.random.split(key)
+        t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
+        r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)
+        return kernel(state, actions, *self._pack_noise(t_noise, r_noise))
+
+    def _full_aux(self, aux):
         reward = aux[0]
         term = aux[1] > 0.5
         trunc = aux[2] > 0.5
         info = {k: aux[3 + i] for i, k in enumerate(self._info_keys)}
-        return st, obs, reward, term, trunc, info
+        return reward, term, trunc, info
+
+    def _full_step(self, state, actions, key):
+        """One fused kernel launch: state stays in kernel layout."""
+        st, obs, aux = self._full_invoke(self._full, state, actions, key)
+        return (st, obs, *self._full_aux(aux))
 
     def _pallas_step(self, state, actions, t_noise, r_noise):
         """pre (vmapped) -> fused Pallas physics (batched) -> post (vmapped)
@@ -284,18 +309,24 @@ class BatchedEnv:
     @property
     def supports_step_final(self) -> bool:
         """Whether :meth:`step_final` is available on this path."""
-        return self._full is None
+        return True
 
     def step_final(self, state, actions, key):
         """Auto-resetting step that also returns the final pre-reset obs
         (gymnasium same-step autoreset convention).  Returns
         (state, obs, final_obs, reward, term, trunc, info)."""
         if self._full is not None:
-            raise NotImplementedError(
-                "step_final is not available with pallas_full: the fused "
-                "kernel applies auto-reset in-kernel and does not surface "
-                "the pre-reset observation"
+            # the emit_final_obs kernel variant stacks the pre-reset obs
+            # under the post-reset one: (2*O, B) -> split.  (Both variants
+            # are built at construction — building involves eager jnp
+            # constant math that a scan trace would capture as tracers;
+            # each only XLA-compiles if actually called.)
+            st, obs2, aux = self._full_invoke(
+                self._full_final, state, actions, key
             )
+            obs = obs2[: self.obs_size]
+            fobs = obs2[self.obs_size :]
+            return (st, obs, fobs, *self._full_aux(aux))
         kt, kr = jax.random.split(key)
         t_noise = draw_noise(kt, self._t_spec, batch=self.n_envs)
         r_noise = draw_noise(kr, self._r_spec, batch=self.n_envs)

@@ -129,7 +129,14 @@ class SSLStaticDefendersEnv(SSLTaskBase):
             legal = ~(
                 (cx > half_len - pen_len) & (jnp.abs(cy) < half_pen_wid)
             )
-            use = (gate < 0.5) & legal
+            # keep the relocated spawn physically consistent: reject points
+            # overlapping the blue (origin) or a defender other than 0
+            # (reference spawns enforce 0.2 m ball separation; 0.12 m here
+            # is enough to clear robot_radius + ball_radius contact)
+            d2_blue = cx * cx + cy * cy
+            d2_others = (cx - yx[1:]) ** 2 + (cy - yy[1:]) ** 2
+            clear = (d2_blue > 0.12**2) & jnp.all(d2_others > 0.12**2)
+            use = (gate < 0.5) & legal & clear
             ball_x = jnp.where(use, cx, ball_x)
             ball_y = jnp.where(use, cy, ball_y)
 

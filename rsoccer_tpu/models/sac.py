@@ -208,6 +208,16 @@ class SACTrainer:
         self.q = QCritic()
         self.tx = optax.adam(config.lr)
         self.target_entropy = -config.target_entropy_scale * benv.action_size
+        # sample_nstep walks n_step strided links of stride n_envs through
+        # the ring; with buffer_size <= (n_step-1)*n_envs the valid window
+        # clamps to 1 and every sampled element collapses to the single
+        # oldest transition — silent degradation, so reject outright
+        if config.buffer_size < config.n_step * benv.n_envs:
+            raise ValueError(
+                f"buffer_size ({config.buffer_size}) must be >= "
+                f"n_step * n_envs ({config.n_step} * {benv.n_envs} = "
+                f"{config.n_step * benv.n_envs}) for strided n-step chains"
+            )
 
     def init(self, key) -> SACState:
         ka, k1, k2, kenv, kkey = jax.random.split(key, 5)
@@ -250,25 +260,15 @@ class SACTrainer:
         action = jnp.where(
             state.total_steps < self.cfg.warmup_steps, a_rand, a_pol
         )
-        if self.benv.mode.get("pallas_full"):
-            # the fused kernel applies the auto-reset select in-kernel and
-            # cannot surface the pre-reset obs; on boundary transitions
-            # next_obs is the fresh episode's spawn obs.  Harmless for
-            # TERMINATED ends (done masks the bootstrap) but biases the
-            # bootstrap on TRUNCATED ends — train on the XLA path if that
-            # matters (the scripts do).
-            env_state, next_obs, reward, term, trunc, info = self.benv.step(
-                state.env_state, action.T, k_env
-            )
-            succ_obs = next_obs
-        else:
-            # true successor obs (pre-reset on episode ends): the replay
-            # must bootstrap truncated transitions from the FINAL obs of
-            # the episode, not the next episode's spawn
-            env_state, next_obs, final_obs, reward, term, trunc, info = (
-                self.benv.step_final(state.env_state, action.T, k_env)
-            )
-            succ_obs = final_obs
+        # true successor obs (pre-reset on episode ends): the replay must
+        # bootstrap truncated transitions from the FINAL obs of the
+        # episode, not the next episode's spawn.  Works on every path —
+        # the pallas_full kernels emit the pre-reset obs too
+        # (emit_final_obs variant, ops/pallas_*_full.py).
+        env_state, next_obs, final_obs, reward, term, trunc, info = (
+            self.benv.step_final(state.env_state, action.T, k_env)
+        )
+        succ_obs = final_obs
         buffer = state.buffer.add_batch(
             obs_bf, action, reward, succ_obs.T,
             term.astype(jnp.float32),

@@ -459,6 +459,7 @@ def make_pallas_sd_full_step(
     tile: int = 2048,
     interpret: bool | None = None,
     rng: str = "input",
+    emit_final_obs: bool = False,
 ):
     """Full-step kernel for SSLStaticDefenders-v0.
 
@@ -467,6 +468,8 @@ def make_pallas_sd_full_step(
     with aux rows [reward, term, trunc, shaping0..7].
     ``rng="kernel"``: ``step(state, action, seed (1,) int32) -> ...`` with
     all noise from the in-kernel hardware PRNG (TPU only).
+    ``emit_final_obs=True``: obs output doubles to ``(48, B)`` — rows 24:
+    the final (pre-reset) observation (see ops/pallas_vss_full.py).
     """
     if batch % tile or tile % 8:
         raise ValueError(f"bad batch/tile: {batch}/{tile}")
@@ -635,6 +638,9 @@ def make_pallas_sd_full_step(
         reset_theta = th_u * (2.0 * jnp.pi)  # (n_y, T)
         z1 = jnp.zeros_like(rbx)
 
+        # pre-reset values for the final-obs build (overwritten by sel)
+        bxf, byf, bvxf, bvyf = bx, by, bvx, bvy
+
         # --- auto-reset select
         def sel(r, v):
             return jnp.where(done, r, v)
@@ -683,6 +689,18 @@ def make_pallas_sd_full_step(
         for i in range(1, n):
             obs_rows += [npos(x_out[i]), npos(y_out[i])]
 
+        if emit_final_obs:
+            # final (pre-reset) observation from the post-physics state
+            obs_rows += [npos(bxf), npos(byf), nv(bvxf), nv(bvyf)]
+            obs_rows += [
+                npos(x2[0]), npos(y2[0]),
+                trig2[1][0], trig2[0][0],
+                nv(vx2[0]), nv(vy2[0]), nw(w2[0]),
+                jnp.where(infrared[0], 1.0, 0.0),
+            ]
+            for i in range(1, n):
+                obs_rows += [npos(x2[i]), npos(y2[i])]
+
         st_out[...] = jnp.concatenate(
             [
                 jnp.stack([bx, by, bz, bvx, bvy, bvz]),
@@ -707,7 +725,9 @@ def make_pallas_sd_full_step(
 
     return _build_call(
         compute,
-        S=S, n_act=5, obs_size=obs_size, aux_rows=11,
+        S=S, n_act=5,
+        obs_size=2 * obs_size if emit_final_obs else obs_size,
+        aux_rows=11,
         noise_rows=[2 * K, n_y * 2 * K, n_y],
         batch=batch, tile=tile, interpret=interpret, rng=rng,
     )
@@ -803,10 +823,12 @@ def _unpack_world(arr, env, n_extra):
 
 def make_pallas_cp_full_step(
     env, batch: int, tile: int = 2048, interpret: bool | None = None,
-    rng: str = "input",
+    rng: str = "input", emit_final_obs: bool = False,
 ):
     """Full-step kernel for SSLContestedPossession-v0
-    (envs/ssl_contested_possession.py semantics)."""
+    (envs/ssl_contested_possession.py semantics).  ``emit_final_obs=True``
+    doubles the obs output with the pre-reset observation (see
+    ops/pallas_vss_full.py)."""
     field = env.field
     cfg = env.physics_cfg
     n = env.n_robots  # 2
@@ -938,6 +960,9 @@ def make_pallas_cp_full_step(
         enemy_x = pen_len + enemy_u[0] * (half_len - 2 * pen_len)
         enemy_y = -half_pen_wid + enemy_u[1] * (2 * half_pen_wid)
 
+        # pre-reset values for the final-obs build (overwritten by sel)
+        bxf, byf, bvxf, bvyf = bx, by, bvx, bvy
+
         def sel(r, v):
             return jnp.where(done, r, v)
 
@@ -981,6 +1006,16 @@ def make_pallas_cp_full_step(
         ]
         obs_rows += [npos(x_out[1]), npos(y_out[1])]
 
+        if emit_final_obs:
+            obs_rows += [npos(bxf), npos(byf), nv(bvxf), nv(bvyf)]
+            obs_rows += [
+                npos(x2[0]), npos(y2[0]),
+                trig2[1][0], trig2[0][0],
+                nv(vx2[0]), nv(vy2[0]), nw(w2[0]),
+                jnp.where(infrared[0], 1.0, 0.0),
+            ]
+            obs_rows += [npos(x2[1]), npos(y2[1])]
+
         st_out[...] = jnp.concatenate(
             [
                 jnp.stack([bx, by, bz, bvx, bvy, bvz]),
@@ -1005,7 +1040,9 @@ def make_pallas_cp_full_step(
 
     return _build_call(
         compute,
-        S=S, n_act=5, obs_size=obs_size, aux_rows=12,
+        S=S, n_act=5,
+        obs_size=2 * obs_size if emit_final_obs else obs_size,
+        aux_rows=12,
         noise_rows=[2],
         batch=batch, tile=tile, interpret=interpret, rng=rng,
     )
@@ -1048,11 +1085,13 @@ def unpack_dr_state(arr: jnp.ndarray, env):
 
 def make_pallas_dr_full_step(
     env, batch: int, tile: int = 2048, interpret: bool | None = None,
-    rng: str = "input",
+    rng: str = "input", emit_final_obs: bool = False,
 ):
     """Full-step kernel for SSLDribbling-v0 (envs/ssl_dribbling.py
     semantics — gate automaton as f32 counter math; reset deterministic,
-    so this task needs NO noise at all)."""
+    so this task needs NO noise at all).  ``emit_final_obs=True`` doubles
+    the obs output with the pre-reset observation (see
+    ops/pallas_vss_full.py)."""
     field = env.field
     cfg = env.physics_cfg
     n = env.n_robots  # 5
@@ -1159,6 +1198,9 @@ def make_pallas_dr_full_step(
         # deterministic reset (envs/ssl_dribbling.reset_state)
         zero = jnp.zeros_like(reward)
 
+        # pre-reset values for the final-obs build (overwritten by sel)
+        bxf, byf, bvxf, bvyf = bx, by, bvx, bvy
+
         def sel(rv, v):
             return jnp.where(done, rv, v)
 
@@ -1210,6 +1252,21 @@ def make_pallas_dr_full_step(
         for i in range(1, n):
             obs_rows += [npos(x_out[i]), npos(y_out[i])]
 
+        if emit_final_obs:
+            # final obs head from the PRE-reset checkpoint count
+            obs_rows += [
+                (new_count / 6.0) * 2.0 - 1.0,
+                npos(bxf), npos(byf), nv(bvxf), nv(bvyf),
+            ]
+            obs_rows += [
+                npos(x2[0]), npos(y2[0]),
+                trig2[1][0], trig2[0][0],
+                nv(vx2[0]), nv(vy2[0]), nw(w2[0]),
+                jnp.where(infrared[0], 1.0, -1.0),  # infrared in {-1, 1}!
+            ]
+            for i in range(1, n):
+                obs_rows += [npos(x2[i]), npos(y2[i])]
+
         st_out[...] = jnp.concatenate(
             [
                 jnp.stack([bx, by, bz, bvx, bvy, bvz]),
@@ -1226,7 +1283,9 @@ def make_pallas_dr_full_step(
 
     return _build_call(
         compute,
-        S=S, n_act=4, obs_size=obs_size, aux_rows=3,
+        S=S, n_act=4,
+        obs_size=2 * obs_size if emit_final_obs else obs_size,
+        aux_rows=3,
         noise_rows=[],
         batch=batch, tile=tile, interpret=interpret, rng=rng,
     )
@@ -1267,12 +1326,14 @@ def unpack_pe_state(arr: jnp.ndarray, env):
 
 def make_pallas_pe_full_step(
     env, batch: int, tile: int = 2048, interpret: bool | None = None,
-    rng: str = "input",
+    rng: str = "input", emit_final_obs: bool = False,
 ):
     """Full-step kernel for SSLPassEndurance-v0
     (envs/ssl_pass_endurance.py semantics — shooter rotates/kicks only,
     receiver frozen with dribbler on; int-centimeter bbox wrong-ball test
-    done in f32 trunc space, exact for field-scale magnitudes)."""
+    done in f32 trunc space, exact for field-scale magnitudes).
+    ``emit_final_obs=True`` doubles the obs output with the pre-reset
+    observation (see ops/pallas_vss_full.py)."""
     from rsoccer_tpu.envs.ssl_pass_endurance import N_CAND
 
     field = env.field
@@ -1391,6 +1452,9 @@ def make_pallas_pe_full_step(
 
         zero = jnp.zeros_like(reward)
 
+        # pre-reset values for the final-obs build (overwritten by sel)
+        bxf, byf, bvxf, bvyf = bx, by, bvx, bvy
+
         def sel(rv, v):
             return jnp.where(done, rv, v)
 
@@ -1450,6 +1514,16 @@ def make_pallas_pe_full_step(
                 jnp.where(ir_out[i], 1.0, 0.0),
             ]
 
+        if emit_final_obs:
+            obs_rows += [npos(bxf), npos(byf), nv(bvxf), nv(bvyf)]
+            for i in range(n):
+                obs_rows += [
+                    npos(x2[i]), npos(y2[i]),
+                    trig2[1][i], trig2[0][i],
+                    nw(w2[i]),
+                    jnp.where(infrared[i], 1.0, 0.0),
+                ]
+
         st_out[...] = jnp.concatenate(
             [
                 jnp.stack([bx, by, bz, bvx, bvy, bvz]),
@@ -1475,7 +1549,9 @@ def make_pallas_pe_full_step(
 
     return _build_call(
         compute,
-        S=S, n_act=3, obs_size=obs_size, aux_rows=5,
+        S=S, n_act=3,
+        obs_size=2 * obs_size if emit_final_obs else obs_size,
+        aux_rows=5,
         noise_rows=[2, N_CAND],
         batch=batch, tile=tile, interpret=interpret, rng=rng,
     )

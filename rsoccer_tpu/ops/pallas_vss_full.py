@@ -145,6 +145,7 @@ def make_pallas_vss_full_step(
     tile: int = 2048,
     interpret: bool | None = None,
     rng: str = "input",
+    emit_final_obs: bool = False,
 ):
     """Build the fused step for a :class:`rsoccer_tpu.envs.vss.VSSEnv`.
 
@@ -154,6 +155,13 @@ def make_pallas_vss_full_step(
     aux (9,B))`` with aux rows [reward, term, trunc, shaping0..5].
     Deterministic given the noise, so bit-equivalence with the XLA path is
     testable (interpret mode works on CPU).
+
+    ``emit_final_obs=True`` doubles the obs output to ``(2*obs, B)``: rows
+    ``[:obs]`` are the post-auto-reset observation as before, rows
+    ``[obs:]`` the FINAL (pre-reset) observation of the step — gymnasium's
+    same-step autoreset convention needs it to bootstrap truncated
+    episodes (models/ppo._gae, models/sac._collect).  On non-done lanes
+    the two halves are identical.
 
     ``rng="kernel"`` (TPU only): all noise is generated IN the kernel with
     the per-core hardware PRNG (``pltpu.prng_random_bits``), seeded per
@@ -424,6 +432,31 @@ def make_pallas_vss_full_step(
         done = goal | trunc
         done_f = done.astype(jnp.float32)
 
+        def npos(v):
+            return jnp.clip(v / max_pos, -nbnd, nbnd)
+
+        def nv(v):
+            return jnp.clip(v / max_v, -nbnd, nbnd)
+
+        def nw(v):
+            return jnp.clip(v / max_w_rad, -nbnd, nbnd)
+
+        # final (pre-reset) observation from the post-physics state; the
+        # heading trig is the substep loop's carried rotation (same values
+        # the physics used — within the kernel equivalence tolerance)
+        final_rows = []
+        if emit_final_obs:
+            final_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
+            for i in range(nb):
+                final_rows += [
+                    npos(x[i]), npos(y[i]), sin_t[i], cos_t[i],
+                    nv(vx[i]), nv(vy[i]), nw(w[i]),
+                ]
+            for i in range(nb, n):
+                final_rows += [
+                    npos(x[i]), npos(y[i]), nv(vx[i]), nv(vy[i]), nw(w[i])
+                ]
+
         # --- spawn placement for reset lanes (envs/spawn.place_separated
         # with one-hot first-valid selection; 1 ball + N robots, K cands)
         px = []
@@ -484,15 +517,6 @@ def make_pallas_vss_full_step(
         shaping_out = jnp.where(done[None], 0.0, shaping_new)
 
         # --- observation from the post-select state (envs/vss._observe)
-        def npos(v):
-            return jnp.clip(v / max_pos, -nbnd, nbnd)
-
-        def nv(v):
-            return jnp.clip(v / max_v, -nbnd, nbnd)
-
-        def nw(v):
-            return jnp.clip(v / max_w_rad, -nbnd, nbnd)
-
         obs_rows = [npos(bx), npos(by), nv(bvx), nv(bvy)]
         for i in range(nb):
             obs_rows += [
@@ -515,7 +539,7 @@ def make_pallas_vss_full_step(
             ],
             axis=0,
         )
-        obs_out[...] = jnp.stack(obs_rows)
+        obs_out[...] = jnp.stack(obs_rows + final_rows)
         aux_out[...] = jnp.concatenate(
             [
                 jnp.stack([reward, goal_f, trunc.astype(jnp.float32)]),
@@ -531,10 +555,11 @@ def make_pallas_vss_full_step(
         raise ValueError(f"batch/8 {b8} not divisible by tile/8 {tl}")
     grid = (b8 // tl,)
     n_sp = (1 + n) * 2 * K
+    obs_out_n = 2 * obs_size if emit_final_obs else obs_size
 
     out_shape = [
         jax.ShapeDtypeStruct((S, 8, b8), jnp.float32),
-        jax.ShapeDtypeStruct((obs_size, 8, b8), jnp.float32),
+        jax.ShapeDtypeStruct((obs_out_n, 8, b8), jnp.float32),
         jax.ShapeDtypeStruct((9, 8, b8), jnp.float32),
     ]
 
@@ -557,7 +582,7 @@ def make_pallas_vss_full_step(
             kernel,
             grid=grid,
             in_specs=[spec(S), spec(n_act), spec(2 * n), spec(n_sp), spec(n)],
-            out_specs=[spec(S), spec(obs_size), spec(9)],
+            out_specs=[spec(S), spec(obs_out_n), spec(9)],
             out_shape=out_shape,
             interpret=interpret,
         )
@@ -568,7 +593,7 @@ def make_pallas_vss_full_step(
             )
             return (
                 st.reshape(S, batch),
-                obs.reshape(obs_size, batch),
+                obs.reshape(obs_out_n, batch),
                 aux.reshape(9, batch),
             )
 
@@ -640,7 +665,7 @@ def make_pallas_vss_full_step(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pspec(S), pspec(n_act)],
-            out_specs=[pspec(S), pspec(obs_size), pspec(9)],
+            out_specs=[pspec(S), pspec(obs_out_n), pspec(9)],
         ),
         out_shape=out_shape,
         interpret=interpret,
@@ -650,7 +675,7 @@ def make_pallas_vss_full_step(
         st, obs, aux = call(seed, r3(state), r3(action))
         return (
             st.reshape(S, batch),
-            obs.reshape(obs_size, batch),
+            obs.reshape(obs_out_n, batch),
             aux.reshape(9, batch),
         )
 

@@ -314,3 +314,59 @@ def test_full_step_matches_default_custom_configs(interp_full, kwargs):
         )
         np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
         np.testing.assert_array_equal(np.asarray(tr_r), np.asarray(tr_f))
+
+
+_ALL_IDS = ["VSS-v0"] + _SSL_IDS
+
+
+@pytest.mark.parametrize("env_id", _ALL_IDS)
+def test_full_step_final_matches_default(interp_full, env_id):
+    """step_final on the fused path: post-reset obs AND the final
+    (pre-reset) obs must match the XLA path lane-for-lane, through
+    auto-resets (shrunk horizon forces truncations in-window)."""
+    env = rsoccer_tpu.make(env_id)
+    env.max_episode_steps = 3
+    n_envs = 8
+    ref = BatchedEnv(env, n_envs)
+    ful = BatchedEnv(env, n_envs, pallas_full=True, pallas_tile=n_envs)
+    assert ful.supports_step_final
+    key = jax.random.PRNGKey(7)
+    s_ref, o_ref = ref.reset(key)
+    s_ful, o_ful = ful.reset(key)
+    rng = np.random.default_rng(7)
+    saw_done = False
+    for t in range(8):
+        acts = jnp.asarray(
+            rng.uniform(-1, 1, (env.action_size, n_envs)), jnp.float32
+        )
+        k = jax.random.PRNGKey(300 + t)
+        s_ref, o_r, f_r, rew_r, te_r, tr_r, i_r = ref.step_final(
+            s_ref, acts, k
+        )
+        s_ful, o_f, f_f, rew_f, te_f, tr_f, i_f = ful.step_final(
+            s_ful, acts, k
+        )
+        done = np.asarray(te_r) | np.asarray(tr_r)
+        saw_done = saw_done or bool(done.any())
+        np.testing.assert_allclose(
+            np.asarray(o_r), np.asarray(o_f), atol=5e-5,
+            err_msg=f"{env_id} obs diverged at step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_r), np.asarray(f_f), atol=5e-5,
+            err_msg=f"{env_id} final_obs diverged at step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew_r), np.asarray(rew_f), atol=5e-5,
+            err_msg=f"{env_id} reward diverged at step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(te_r), np.asarray(te_f))
+        np.testing.assert_array_equal(np.asarray(tr_r), np.asarray(tr_f))
+        # on non-done lanes final_obs == obs up to trig representation:
+        # the final-obs build reuses the physics' composed heading trig
+        # while the VSS post-obs recomputes exact sin/cos (~1e-6 apart)
+        np.testing.assert_allclose(
+            np.asarray(o_f)[:, ~done], np.asarray(f_f)[:, ~done], atol=5e-6,
+            err_msg=f"{env_id} final_obs != obs on a non-done lane",
+        )
+    assert saw_done

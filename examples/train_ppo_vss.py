@@ -73,12 +73,25 @@ def main():
         help="freeze the actor for the first N updates (fine-tuning: let "
         "the fresh value head fit before its noise hits the policy)",
     )
+    p.add_argument(
+        "--pallas-full", action="store_true",
+        help="roll out over the fused full-step kernel (whole env step = "
+        "one kernel launch; fastest path, reference-exact resets only)",
+    )
+    p.add_argument(
+        "--pallas-rng", default="input", choices=["input", "kernel"],
+        help="with --pallas-full: 'kernel' draws all env noise with the "
+        "in-kernel TPU hardware PRNG (fastest; TPU only)",
+    )
     args = p.parse_args()
 
     import json
 
     env = rsoccer_tpu.make(args.env_id, **json.loads(args.env_kwargs))
-    benv = BatchedEnv(env, args.envs)
+    benv = BatchedEnv(
+        env, args.envs,
+        pallas_full=args.pallas_full, pallas_rng=args.pallas_rng,
+    )
     cfg = PPOConfig(
         lr=args.lr,
         anneal_updates=args.updates if args.anneal else 0,

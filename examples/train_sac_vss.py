@@ -51,6 +51,14 @@ def main():
                    " every eval point; crash insurance for long runs")
     p.add_argument("--resume", action="store_true",
                    help="continue from --state-save if its meta file exists")
+    p.add_argument("--pallas-full", action="store_true",
+                   help="collect over the fused full-step kernel (the "
+                   "kernels emit the pre-reset obs, so replay bootstraps "
+                   "stay exact)")
+    p.add_argument("--pallas-rng", default="input",
+                   choices=["input", "kernel"],
+                   help="with --pallas-full: 'kernel' = in-kernel TPU "
+                   "hardware PRNG (fastest; TPU only)")
     p.add_argument("--log", default="", help="append JSONL curve points here")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=0,
@@ -59,7 +67,10 @@ def main():
     args = p.parse_args()
 
     env = rsoccer_tpu.make(args.env_id, **json.loads(args.env_kwargs))
-    benv = BatchedEnv(env, args.envs)
+    benv = BatchedEnv(
+        env, args.envs,
+        pallas_full=args.pallas_full, pallas_rng=args.pallas_rng,
+    )
     trainer = SACTrainer(
         benv,
         SACConfig(

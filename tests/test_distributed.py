@@ -91,3 +91,22 @@ def test_two_process_rollout_matches_single_process(impl):
         single["total_reward"], rel=1e-5
     )
     assert multi["obs_sum"] == pytest.approx(single["obs_sum"], rel=1e-5)
+
+
+def test_two_process_ppo_train_step_matches_single_process():
+    """The FULL sharded PPO train step across process boundaries: rollout,
+    GAE, minibatched updates and the induced cross-host gradient collective
+    must produce the same replicated params as a single-process run of the
+    same 8-device program."""
+    multi = _run_distributed("ppo", num_processes=2, n_local=4)
+    single = _run_single("ppo")
+    assert multi["global_devices"] == 8
+    assert single["global_devices"] == 8
+    assert multi["loss"] == pytest.approx(single["loss"], rel=1e-4)
+    assert multi["mean_reward"] == pytest.approx(
+        single["mean_reward"], rel=1e-4
+    )
+    assert multi["param_checksum"] == pytest.approx(
+        single["param_checksum"], rel=1e-5
+    )
+    assert multi["obs_sum"] == pytest.approx(single["obs_sum"], rel=1e-5)

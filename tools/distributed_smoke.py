@@ -37,8 +37,10 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--impl", choices=["jit", "shard_map"], default="jit",
-        help="jit: NamedSharding-partitioned rollout; shard_map: explicit SPMD",
+        "--impl", choices=["jit", "shard_map", "ppo"], default="jit",
+        help="jit: NamedSharding-partitioned rollout; shard_map: explicit "
+        "SPMD; ppo: two FULL sharded PPO train steps (rollout + GAE + "
+        "minibatched updates, gradients averaged across the mesh)",
     )
     args = p.parse_args()
 
@@ -69,6 +71,49 @@ def main():
     mesh = make_env_mesh()  # 1-D env mesh over ALL global devices
 
     key = jax.random.PRNGKey(args.seed)
+    if args.impl == "ppo":
+        # the full learner across process boundaries: env batch sharded
+        # over the global mesh (dp), params/opt replicated, the batch-mean
+        # losses inducing the cross-host gradient collective inside jit
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rsoccer_tpu.models.ppo import PPOConfig, PPOTrainer
+        from rsoccer_tpu.parallel.mesh import shard_batched_tree
+
+        cfg = PPOConfig(rollout_steps=8, num_epochs=2, num_minibatches=2)
+        trainer = PPOTrainer(benv, cfg)
+        state = trainer.init(key)
+        replicated = NamedSharding(mesh, P())
+        state = state._replace(
+            params=jax.device_put(state.params, replicated),
+            opt_state=jax.device_put(state.opt_state, replicated),
+            env_state=shard_batched_tree(state.env_state, mesh, batch_axis=-1),
+            obs=shard_batched_tree(state.obs, mesh, batch_axis=-1),
+            env_key=jax.device_put(state.env_key, replicated),
+        )
+        step = jax.jit(trainer.train_step)
+        metrics = None
+        for i in range(2):
+            state, metrics = step(state, jax.random.PRNGKey(100 + i))
+        jax.block_until_ready(metrics)
+        # params are replicated -> identical checksum on every process
+        psum = sum(
+            float(abs(l).sum()) for l in jax.tree.leaves(state.params)
+        )
+        out = {
+            "impl": args.impl,
+            "num_processes": args.num_processes,
+            "global_devices": n_global,
+            "loss": float(metrics["loss"]),
+            "mean_reward": float(metrics["mean_reward"]),
+            "param_checksum": psum,
+            "obs_sum": float(abs(state.obs).sum()),
+        }
+        if args.process_id == 0:
+            print(json.dumps(out))
+        jax.distributed.shutdown()
+        return
+
     if args.impl == "jit":
         roll, init = make_sharded_rollout(benv, mesh, args.steps, unroll=1)
         carry = init(key)

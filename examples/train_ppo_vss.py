@@ -74,6 +74,10 @@ def main():
         "the fresh value head fit before its noise hits the policy)",
     )
     p.add_argument(
+        "--hidden", default="256,256",
+        help="comma-separated actor/critic tower widths",
+    )
+    p.add_argument(
         "--pallas-full", action="store_true",
         help="roll out over the fused full-step kernel (whole env step = "
         "one kernel launch; fastest path, reference-exact resets only)",
@@ -102,6 +106,7 @@ def main():
         freeze_obs_norm=args.freeze_obs_norm,
         critic_warmup_updates=args.critic_warmup,
         minibatch_mode=args.minibatch_mode,
+        hidden=tuple(int(h) for h in args.hidden.split(",")),
     )
     trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))

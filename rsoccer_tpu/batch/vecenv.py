@@ -77,10 +77,16 @@ class BatchedEnv:
         self._r_spec = env.reset_noise_spec()
         if pallas_full and pallas_physics:
             raise ValueError("pallas_full subsumes pallas_physics; pick one")
-        if pallas_full and getattr(env, "curriculum", False):
+        if pallas_full and (
+            getattr(env, "curriculum", False)
+            or getattr(env, "terminal_penalty", 0.0)
+            or getattr(env, "catch_scale", 1.0) != 1.0
+        ):
             raise ValueError(
-                "the full-step kernel implements the reference's deterministic "
-                "reset; curriculum resets run on the XLA path (pallas_full=False)"
+                "the full-step kernels implement the reference's exact reset "
+                "and reward; training-time extensions (curriculum, "
+                "terminal_penalty, catch_scale) run on the XLA path "
+                "(pallas_full=False)"
             )
 
         self._reset_v = jax.vmap(

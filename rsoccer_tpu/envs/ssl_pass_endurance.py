@@ -57,9 +57,20 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         field_type: int = 2,
         time_step: float = 0.025,
         curriculum: bool = False,
+        catch_scale: float = 1.0,
     ):
         super().__init__(field_type, n_blue=2, n_yellow=0, time_step=time_step)
         self.obs_size = 4 + 6 * self.n_blue
+        # Training-time extension (NOT reference behavior): widen the
+        # receiver's effective catch window by this factor for the
+        # pass-received test ONLY (obs keep the physical infrared).  The
+        # reference pass lands only when the ball meets the receiver's
+        # kicker face — an aim window of ~+-0.01 rad at range, too small
+        # for RL exploration to hit (docs/training.md: SAC plateaus at
+        # 17.6%, PPO erodes the BC clone).  Stage training at
+        # catch_scale 4 -> 2 -> 1 (the Dribbling playbook: each stage
+        # --init from the last); evaluate on a default-constructed env.
+        self.catch_scale = float(catch_scale)
         # Training-time extension (NOT reference behavior): spawn the
         # receiver at a uniform 0.25..2.5 m offset instead of the
         # reference's >= 1 m rejection (pass_endurance.py:162-176).  A pass
@@ -156,6 +167,33 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         )
         return state
 
+    def _widened_catch(self, world: WorldState):
+        """Pass-received test with the receiver's kicker face widened by
+        ``catch_scale`` (same geometry as physics/ssl._face_zone, wider
+        lateral window + a little extra depth so a fast ball can't step
+        across it)."""
+        f, cfg = self.field, self.physics_cfg
+        dx = world.ball.x - world.robots.x[1]
+        dy = world.ball.y - world.robots.y[1]
+        c = jnp.cos(world.robots.theta[1])
+        s = jnp.sin(world.robots.theta[1])
+        lx = dx * c + dy * s
+        ly = -dx * s + dy * c
+        lo = f.rbt_distance_center_kicker - f.rbt_kicker_thickness - f.ball_radius
+        hi = (
+            f.rbt_distance_center_kicker
+            + f.ball_radius
+            + cfg.kicker_depth_slack
+            + (self.catch_scale - 1.0) * 0.02
+        )
+        low = (world.ball.z - f.ball_radius) <= cfg.kicker_height
+        return (
+            (lx >= lo)
+            & (lx <= hi)
+            & (jnp.abs(ly) <= f.rbt_kicker_width / 2 * self.catch_scale)
+            & low
+        )
+
     # ----------------------------------------------------------------- step
     def transition(self, state: PEState, action, noise):
         # kick deadzone |a1| > 0.5 (reference :108)
@@ -171,7 +209,10 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         bx, by = world.ball.x, world.ball.y
         sx, sy = world.robots.x[0], world.robots.y[0]
         rx, ry = world.robots.x[1], world.robots.y[1]
-        received = world.robots.infrared[1]
+        if self.catch_scale != 1.0:
+            received = self._widened_catch(world)
+        else:
+            received = world.robots.infrared[1]
 
         # ball_grad toward the receiver (reference :216-233)
         last_d = self.dist(state.world.ball.x, state.world.ball.y, rx, ry)

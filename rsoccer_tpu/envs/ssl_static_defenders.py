@@ -58,6 +58,7 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         field_type: int = 2,
         time_step: float = 0.025,
         curriculum: bool = False,
+        terminal_penalty: float = 0.0,
     ):
         """``curriculum=True`` (training-time extension, NOT part of the
         reference surface) oversamples contested spawns: with probability
@@ -66,9 +67,19 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         residual losses concentrate exactly there (65% goal rate when a
         defender spawns within 0.3 m of the ball vs 95% when clear), and
         such spawns are only ~4% of the reference distribution — too rare
-        to learn from.  Evaluation must use the default env."""
+        to learn from.  Evaluation must use the default env.
+
+        ``terminal_penalty > 0`` (training-time extension): subtract this
+        from the reward on every LOSING termination (robot out, GK-area
+        entry, ball out left/side, ball past the end-line wide of goal).
+        The reference gives those ends 0 reward (static_defenders.py:
+        198-208), so with dense positive shaping toward the goal a lost
+        ball near the end-line still nets a decent return; an explicit
+        terminal price makes ball-retention errors visible to the
+        advantage.  Evaluation must use the default env."""
         super().__init__(field_type, n_blue=1, n_yellow=6, time_step=time_step)
         self.curriculum = curriculum
+        self.terminal_penalty = float(terminal_penalty)
         self.obs_size = 4 + 8 * self.n_blue + 2 * self.n_yellow
         f = self.field
         # reward scales (reference static_defenders.py:64-73)
@@ -188,6 +199,10 @@ class SSLStaticDefendersEnv(SSLTaskBase):
         shaped = ball_dist + ball_grad + energy
 
         reward = jnp.where(goal, 5.0, jnp.where(shaping_branch, shaped, 0.0))
+        if self.terminal_penalty:
+            reward = reward - jnp.where(
+                done & ~goal, self.terminal_penalty, 0.0
+            )
 
         zero = jnp.zeros(())
         one = jnp.ones(())

@@ -59,6 +59,8 @@ class PPOConfig(NamedTuple):
     # (the env axis is i.i.d.; only the few same-env timesteps inside one
     # minibatch stay correlated).
     minibatch_mode: str = "shuffle"
+    # actor/critic tower widths (models/networks.ActorCritic)
+    hidden: tuple = (256, 256)
 
 
 class ObsNorm(NamedTuple):
@@ -126,7 +128,9 @@ class PPOTrainer:
     def __init__(self, benv: BatchedEnv, config: PPOConfig = PPOConfig()):
         self.benv = benv
         self.cfg = config
-        self.net = ActorCritic(action_size=benv.action_size)
+        self.net = ActorCritic(
+            action_size=benv.action_size, hidden=tuple(config.hidden)
+        )
         # optax schedules tick per optimiser step; one trainer update runs
         # num_epochs x num_minibatches of those
         lr = (

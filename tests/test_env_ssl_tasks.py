@@ -576,3 +576,30 @@ def test_pass_endurance_obs_layout_exact():
     )
     obs2 = np.asarray(env.observe(state2))
     np.testing.assert_allclose(obs2[8], 0.1 / np.deg2rad(10.0), rtol=1e-4)
+
+
+def test_pe_catch_scale_widens_received_window():
+    """catch_scale (training-time kwarg) widens the pass-received test; at
+    scale 1 it must be OFF (reference semantics: physical infrared)."""
+    import rsoccer_tpu
+
+    env1 = rsoccer_tpu.make("SSLPassEndurance-v0")
+    env4 = rsoccer_tpu.make("SSLPassEndurance-v0", catch_scale=4.0)
+    assert env1.catch_scale == 1.0
+    s, _ = env4.reset(jax.random.PRNGKey(0))
+    f = env4.field
+    # place the ball just outside the reference kicker width but inside
+    # the widened window, at face depth, in the receiver's frame
+    rx, ry = s.world.robots.x[1], s.world.robots.y[1]
+    th = s.world.robots.theta[1]
+    lx = float(f.rbt_distance_center_kicker)
+    ly = float(f.rbt_kicker_width / 2) * 1.5  # outside 1x, inside 4x
+    bx = rx + lx * jnp.cos(th) - ly * jnp.sin(th)
+    by = ry + lx * jnp.sin(th) + ly * jnp.cos(th)
+    w = s.world
+    w = w._replace(ball=w.ball._replace(x=bx, y=by))
+    assert bool(env4._widened_catch(w))
+    # the same geometry at scale 1.0001-ish must reject: rebuild with
+    # near-reference scale to confirm the window actually narrows
+    env1p = rsoccer_tpu.make("SSLPassEndurance-v0", catch_scale=1.0001)
+    assert not bool(env1p._widened_catch(w))

@@ -32,9 +32,22 @@ class VectorGymnasiumEnv(gym.vector.VectorEnv):
 
     metadata = {"autoreset_mode": gym.vector.AutoresetMode.SAME_STEP}
 
-    def __init__(self, env_id: str, num_envs: int, **kwargs):
+    def __init__(
+        self,
+        env_id: str,
+        num_envs: int,
+        pallas_full: bool = False,
+        pallas_rng: str = "input",
+        **kwargs,
+    ):
+        """``pallas_full=True`` backs the wrapper with the fused full-step
+        kernels (the emit_final_obs variant supplies ``final_obs``)."""
         self.env = rsoccer_tpu.make(env_id, **kwargs)
-        self.benv = BatchedEnv(self.env, num_envs)
+        self.benv = BatchedEnv(
+            self.env, num_envs,
+            pallas_full=pallas_full, pallas_rng=pallas_rng,
+            pallas_tile=min(2048, num_envs),
+        )
         self.num_envs = num_envs
         self.single_action_space = gym.spaces.Box(
             low=-1, high=1, shape=(self.env.action_size,), dtype=np.float32

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--env-id", default="SSLStaticDefenders-v0")
     p.add_argument("--rollout-steps", type=int, default=128)
     p.add_argument("--minibatch-mode", default="shuffle")
+    p.add_argument("--pallas-full", action="store_true")
+    p.add_argument("--pallas-rng", default="input", choices=["input", "kernel"])
+    p.add_argument("--hidden", default="256,256")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--out", default="/tmp/rsoccer_ppo_trace")
     args = p.parse_args()
@@ -41,12 +44,16 @@ def main():
     from rsoccer_tpu.models.ppo import PPOConfig, PPOTrainer
 
     env = rsoccer_tpu.make(args.env_id)
-    benv = BatchedEnv(env, args.envs)
+    benv = BatchedEnv(
+        env, args.envs,
+        pallas_full=args.pallas_full, pallas_rng=args.pallas_rng,
+    )
     trainer = PPOTrainer(
         benv,
         PPOConfig(
             rollout_steps=args.rollout_steps,
             minibatch_mode=args.minibatch_mode,
+            hidden=tuple(int(h) for h in args.hidden.split(",")),
         ),
     )
     state = trainer.init(jax.random.PRNGKey(0))

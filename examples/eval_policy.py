@@ -32,6 +32,10 @@ def main():
     p.add_argument("--params", default="")
     p.add_argument("--gif", default="")
     p.add_argument(
+        "--hidden", default="256,256",
+        help="actor/critic tower widths of the checkpoint (PPO)",
+    )
+    p.add_argument(
         "--algo", default="ppo", choices=["ppo", "sac"],
         help="checkpoint format: ppo = {params, obs_norm} "
         "(train_ppo_vss.py), sac = actor params (train_sac_vss.py)",
@@ -55,7 +59,12 @@ def main():
             print("no --params given; evaluating a freshly initialised policy")
         policy = trainer.make_policy(actor_params, deterministic=True)
     else:
-        trainer = PPOTrainer(benv)
+        from rsoccer_tpu.models.ppo import PPOConfig
+
+        trainer = PPOTrainer(
+            benv,
+            PPOConfig(hidden=tuple(int(h) for h in args.hidden.split(","))),
+        )
         init_state = trainer.init(jax.random.PRNGKey(0))
         if args.params:
             like = {"params": init_state.params, "obs_norm": init_state.obs_norm}

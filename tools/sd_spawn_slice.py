@@ -47,6 +47,7 @@ def main():
     p.add_argument("--params", required=True)
     p.add_argument("--envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--hidden", default="256,256")
     p.add_argument("--env-kwargs", default="{}")
     args = p.parse_args()
 
@@ -54,7 +55,12 @@ def main():
         "SSLStaticDefenders-v0", **json.loads(args.env_kwargs)
     )
     benv = BatchedEnv(env, args.envs)
-    trainer = PPOTrainer(benv)
+    from rsoccer_tpu.models.ppo import PPOConfig
+
+    trainer = PPOTrainer(
+        benv,
+        PPOConfig(hidden=tuple(int(h) for h in args.hidden.split(","))),
+    )
     init = trainer.init(jax.random.PRNGKey(0))
     like = {"params": init.params, "obs_norm": init.obs_norm}
     ck = jax.tree.map(jnp.asarray, checkpoint.restore(args.params, like=like))

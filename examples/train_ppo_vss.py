@@ -87,6 +87,18 @@ def main():
         help="with --pallas-full: 'kernel' draws all env noise with the "
         "in-kernel TPU hardware PRNG (fastest; TPU only)",
     )
+    p.add_argument(
+        "--chain", type=int, default=1,
+        help="fuse K train steps into one jitted lax.scan launch: the host "
+        "(and, on tunneled deployments, the per-launch RPC round-trip) "
+        "leaves the loop entirely — sustained rate == device rate",
+    )
+    p.add_argument(
+        "--log-every", type=int, default=1,
+        help="sync + print metrics every K launches; between logs the host "
+        "runs ahead of the device (async dispatch), so per-update prints "
+        "never stall the chip",
+    )
     args = p.parse_args()
 
     import json
@@ -115,26 +127,55 @@ def main():
         ck = jax.tree.map(jax.numpy.asarray, checkpoint.restore(args.init, like=like))
         state = state._replace(params=ck["params"], obs_norm=ck["obs_norm"])
         print(f"warm-started params+obs_norm from {args.init}")
-    step = jax.jit(trainer.train_step, donate_argnums=0)
+    if args.chain > 1:
+        # one launch = --chain full PPO iterations under lax.scan; metrics
+        # of the last iteration in the chain are returned for logging
+        def chained(state, key):
+            state, ms = jax.lax.scan(
+                trainer.train_step, state, jax.random.split(key, args.chain)
+            )
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
+        step = jax.jit(chained, donate_argnums=0)
+    else:
+        step = jax.jit(trainer.train_step, donate_argnums=0)
 
     steps_per_update = trainer.cfg.rollout_steps * args.envs
+    launches = (args.updates + args.chain - 1) // args.chain
     key = jax.random.PRNGKey(1)
-    for i in range(args.updates):
+    t_sustained = None
+    for i in range(launches):
         key, k = jax.random.split(key)
         t0 = time.perf_counter()
         state, metrics = step(state, k)
-        jax.block_until_ready(metrics)
-        dt = time.perf_counter() - t0
-        print(
-            f"update {i:4d}  reward/step {float(metrics['mean_reward']):+.4f}  "
-            f"loss {float(metrics['loss']):+.4f}  "
-            f"env-steps/s {steps_per_update / dt:,.0f}",
-            flush=True,
-        )
+        if t_sustained is None:
+            # start the sustained clock after the compile launch returns
+            jax.block_until_ready(metrics)
+            t_sustained = (time.perf_counter(), i + 1)
+        if (i + 1) % args.log_every == 0 or i == launches - 1:
+            jax.block_until_ready(metrics)
+            dt = time.perf_counter() - t0
+            print(
+                f"update {i * args.chain:5d}  "
+                f"reward/step {float(metrics['mean_reward']):+.4f}  "
+                f"loss {float(metrics['loss']):+.4f}  "
+                f"env-steps/s {steps_per_update * args.chain / dt:,.0f}",
+                flush=True,
+            )
         if args.save and args.save_every and (i + 1) % args.save_every == 0:
             checkpoint.save(
                 args.save, {"params": state.params, "obs_norm": state.obs_norm}
             )
+    if t_sustained is not None and launches > t_sustained[1]:
+        jax.block_until_ready(state.params)
+        wall = time.perf_counter() - t_sustained[0]
+        n = (launches - t_sustained[1]) * args.chain * steps_per_update
+        print(
+            f"sustained: {n / wall / 1e6:.2f}M env-steps/s over "
+            f"{launches - t_sustained[1]} post-compile launches "
+            f"({wall:.1f}s wall)",
+            flush=True,
+        )
 
     if args.save:
         # the obs normaliser is part of the policy: evaluating the params

@@ -88,6 +88,20 @@ def main():
         "in-kernel TPU hardware PRNG (fastest; TPU only)",
     )
     p.add_argument(
+        "--num-epochs", type=int, default=4,
+        help="PPO epochs over each rollout; 2 halves the update-phase cost "
+        "per env-step at a small sample-efficiency cost per update",
+    )
+    p.add_argument(
+        "--num-minibatches", type=int, default=8,
+        help="minibatches per epoch; fewer = larger fused matmuls per "
+        "optimiser step (better MXU utilisation at the same sample count)",
+    )
+    p.add_argument(
+        "--rollout-unroll", type=int, default=1,
+        help="lax.scan unroll for the rollout loop",
+    )
+    p.add_argument(
         "--chain", type=int, default=1,
         help="fuse K train steps into one jitted lax.scan launch: the host "
         "(and, on tunneled deployments, the per-launch RPC round-trip) "
@@ -119,6 +133,9 @@ def main():
         critic_warmup_updates=args.critic_warmup,
         minibatch_mode=args.minibatch_mode,
         hidden=tuple(int(h) for h in args.hidden.split(",")),
+        num_minibatches=args.num_minibatches,
+        num_epochs=args.num_epochs,
+        rollout_unroll=args.rollout_unroll,
     )
     trainer = PPOTrainer(benv, cfg)
     state = trainer.init(jax.random.key(0, impl=args.rng_impl))

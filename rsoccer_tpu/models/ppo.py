@@ -61,6 +61,10 @@ class PPOConfig(NamedTuple):
     minibatch_mode: str = "shuffle"
     # actor/critic tower widths (models/networks.ActorCritic)
     hidden: tuple = (256, 256)
+    # lax.scan unroll for the rollout loop: >1 amortises the per-iteration
+    # scan overhead (same lever as the bench driver's unroll; the physics
+    # kernel + policy body is replicated, so keep it small)
+    rollout_unroll: int = 1
 
 
 class ObsNorm(NamedTuple):
@@ -211,7 +215,8 @@ class PPOTrainer:
         o = jnp.zeros((self.benv.obs_size,))
         step_keys = jax.random.split(key, self.cfg.rollout_steps)
         (env_state, obs, env_key, o_sum, o_sq), traj = jax.lax.scan(
-            one_step, (env_state, obs, env_key, o, o), step_keys
+            one_step, (env_state, obs, env_key, o, o), step_keys,
+            unroll=self.cfg.rollout_unroll,
         )
         n = self.cfg.rollout_steps * self.benv.n_envs
         raw_mean = o_sum / n
@@ -219,26 +224,36 @@ class PPOTrainer:
         return env_state, obs, env_key, (raw_mean, raw_var, n), traj
 
     def _gae(self, traj: Transition, last_value):
+        """GAE as an associative scan (no sequential T-step loop).
+
+        The backward recurrence ``gae_t = delta_t + c_t * gae_{t+1}`` with
+        ``c_t = gamma * lambda * (1 - done_t)`` is a first-order linear
+        recurrence, so it runs as ``lax.associative_scan`` in O(log T)
+        sweeps over the whole (T, B) buffer instead of T sequential
+        micro-steps — the T-step scan's per-iteration launch overhead was a
+        measurable slice of the fused train step on TPU.
+        """
         cfg = self.cfg
-
-        def backward(carry, t):
-            gae, next_value = carry
-            # truncated-but-not-terminated lanes bootstrap from the value
-            # of the final pre-reset obs (next_value in the carry is the
-            # NEXT episode's spawn there); terminated lanes don't bootstrap
-            # at all — gymnasium semantics, terminal dominates when both
-            nv = jnp.where(t.trunc > 0.5, t.boot_value, next_value)
-            delta = t.reward + cfg.gamma * nv * (1.0 - t.term) - t.value
-            done = jnp.maximum(t.term, t.trunc)
-            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - done) * gae
-            return (gae, t.value), gae
-
-        (_, _), advantages = jax.lax.scan(
-            backward,
-            (jnp.zeros_like(last_value), last_value),
-            traj,
-            reverse=True,
+        # truncated-but-not-terminated lanes bootstrap from the value of
+        # the final pre-reset obs (value_{t+1} is the NEXT episode's spawn
+        # there); terminated lanes don't bootstrap at all — gymnasium
+        # semantics, terminal dominates when both
+        next_value = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0
         )
+        nv = jnp.where(traj.trunc > 0.5, traj.boot_value, next_value)
+        delta = traj.reward + cfg.gamma * nv * (1.0 - traj.term) - traj.value
+        done = jnp.maximum(traj.term, traj.trunc)
+        c = cfg.gamma * cfg.gae_lambda * (1.0 - done)
+
+        # reverse time so the recurrence reads y_k = d_k + c_k * y_{k-1};
+        # composing affine maps x -> d + c*x gives the associative op
+        # (a then b) = (d_b + c_b * d_a, c_a * c_b)
+        def op(a, b):
+            return b[0] + b[1] * a[0], a[1] * b[1]
+
+        y, _ = jax.lax.associative_scan(op, (delta[::-1], c[::-1]))
+        advantages = y[::-1]
         returns = advantages + traj.value
         return advantages, returns
 

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--pallas-full", action="store_true")
     p.add_argument("--pallas-rng", default="input", choices=["input", "kernel"])
     p.add_argument("--hidden", default="256,256")
+    p.add_argument("--num-minibatches", type=int, default=8)
+    p.add_argument("--num-epochs", type=int, default=4)
+    p.add_argument("--rollout-unroll", type=int, default=1)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--out", default="/tmp/rsoccer_ppo_trace")
     args = p.parse_args()
@@ -54,6 +57,9 @@ def main():
             rollout_steps=args.rollout_steps,
             minibatch_mode=args.minibatch_mode,
             hidden=tuple(int(h) for h in args.hidden.split(",")),
+            num_minibatches=args.num_minibatches,
+            num_epochs=args.num_epochs,
+            rollout_unroll=args.rollout_unroll,
         ),
     )
     state = trainer.init(jax.random.PRNGKey(0))

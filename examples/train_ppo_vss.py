@@ -161,22 +161,30 @@ def main():
     launches = (args.updates + args.chain - 1) // args.chain
     key = jax.random.PRNGKey(1)
     t_sustained = None
+    t_log = (time.perf_counter(), 0)
     for i in range(launches):
         key, k = jax.random.split(key)
-        t0 = time.perf_counter()
         state, metrics = step(state, k)
         if t_sustained is None:
             # start the sustained clock after the compile launch returns
             jax.block_until_ready(metrics)
             t_sustained = (time.perf_counter(), i + 1)
+            t_log = (time.perf_counter(), i + 1)
         if (i + 1) % args.log_every == 0 or i == launches - 1:
             jax.block_until_ready(metrics)
-            dt = time.perf_counter() - t0
+            now = time.perf_counter()
+            n_launch = i + 1 - t_log[1]
+            rate = (
+                steps_per_update * args.chain * n_launch / (now - t_log[0])
+                if n_launch
+                else float("nan")
+            )
+            t_log = (now, i + 1)
             print(
                 f"update {i * args.chain:5d}  "
                 f"reward/step {float(metrics['mean_reward']):+.4f}  "
                 f"loss {float(metrics['loss']):+.4f}  "
-                f"env-steps/s {steps_per_update * args.chain / dt:,.0f}",
+                f"env-steps/s {rate:,.0f}",
                 flush=True,
             )
         if args.save and args.save_every and (i + 1) % args.save_every == 0:

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 
 from rsoccer_tpu.utils.cache import enable_persistent_cache
 
@@ -59,6 +60,12 @@ def main():
                    choices=["input", "kernel"],
                    help="with --pallas-full: 'kernel' = in-kernel TPU "
                    "hardware PRNG (fastest; TPU only)")
+    p.add_argument("--chain", type=int, default=1,
+                   help="fuse K iterations into one jitted lax.scan launch "
+                   "(per-iter device work is sub-ms, so on tunneled TPU "
+                   "deployments the per-launch round-trip dominates an "
+                   "unchained run); the fold_in-by-iter key stream is "
+                   "IDENTICAL to the unchained one, so --resume composes")
     p.add_argument("--log", default="", help="append JSONL curve points here")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=0,
@@ -82,6 +89,11 @@ def main():
     )
     state = trainer.init(jax.random.PRNGKey(0))
     step = jax.jit(trainer.train_step, donate_argnums=0)
+    if args.chain > 1:
+        if args.iters % args.chain:
+            p.error("--iters must be divisible by --chain")
+        if args.eval_every % args.chain:
+            p.error("--eval-every must be a multiple of --chain (or 0)")
 
     evaluate = None
     if args.eval_every:
@@ -125,11 +137,39 @@ def main():
             print(f"resumed full SAC state from {args.state_save} @ iter {start}")
     t0 = time.perf_counter()
     spi = args.envs * trainer.cfg.env_steps_per_iter
-    for i in range(start, args.iters):
-        # fold_in by iter index: a resumed run consumes the same key
-        # stream an uninterrupted one would (see tools/elastic_train.py)
-        k = jax.random.fold_in(base_key, i)
-        state, m = step(state, k)
+
+    if args.chain > 1:
+        # one launch = --chain iterations; keys are fold_in(base_key, i)
+        # exactly as in the unchained loop, so a --resume'd run (state
+        # saves land on eval points, which are chain-aligned) consumes the
+        # same key stream either way
+        def chained(state, i0):
+            def body(st, i):
+                return trainer.train_step(st, jax.random.fold_in(base_key, i))
+
+            state, ms = jax.lax.scan(
+                body, state, i0 + jnp.arange(args.chain, dtype=jnp.int32)
+            )
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
+        chain_step = jax.jit(chained, donate_argnums=0)
+        if start % args.chain:
+            # saves land on eval boundaries (multiples of --chain); a
+            # foreign meta file could still be misaligned — re-run the
+            # partial block rather than compiling a second program
+            start -= start % args.chain
+            print(f"aligned resume down to iter {start} (chain boundary)")
+
+    i = start
+    while i < args.iters:
+        if args.chain > 1:
+            state, m = chain_step(state, jnp.asarray(i, jnp.int32))
+            i += args.chain - 1  # logging below indexes the LAST iter run
+        else:
+            # fold_in by iter index: a resumed run consumes the same key
+            # stream an uninterrupted one would (tools/elastic_train.py)
+            k = jax.random.fold_in(base_key, i)
+            state, m = step(state, k)
         last = i == args.iters - 1
         if i % max(1, args.iters // 10) == 0 or last:
             print(
@@ -163,6 +203,7 @@ def main():
                 checkpoint.save(args.state_save, state)
                 with open(args.state_save + ".meta.json", "w") as f:
                     json.dump({"iter": i}, f)
+        i += 1
     steps = args.iters * spi
     print(f"{steps/1e6:.2f}M env-steps in {time.perf_counter()-t0:.0f}s")
 

@@ -41,6 +41,12 @@ def main():
         "--anneal", action="store_true",
         help="linearly decay lr to 0 over --updates",
     )
+    p.add_argument(
+        "--anneal-updates", type=int, default=0,
+        help="pin the anneal schedule length independently of --updates "
+        "(e.g. to reuse one compiled program across runs of different "
+        "lengths, or to stop an annealed run early)",
+    )
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--rollout-steps", type=int, default=128)
@@ -124,7 +130,9 @@ def main():
     )
     cfg = PPOConfig(
         lr=args.lr,
-        anneal_updates=args.updates if args.anneal else 0,
+        anneal_updates=(
+            (args.anneal_updates or args.updates) if args.anneal else 0
+        ),
         gamma=args.gamma,
         ent_coef=args.ent_coef,
         rollout_steps=args.rollout_steps,
@@ -165,11 +173,16 @@ def main():
     for i in range(launches):
         key, k = jax.random.split(key)
         state, metrics = step(state, k)
-        if t_sustained is None:
-            # start the sustained clock after the compile launch returns
+        if i < 3:
+            # the first launches compile/specialise: call 1 for the
+            # init-state input layouts, call 2 for the layouts train_step
+            # itself emits (both land in the persistent cache; warmed
+            # re-runs skip straight to steady state), and call 3 drains
+            # any queue effects of the background compile.  Block on each
+            # so the sustained clock starts only once layouts are steady.
             jax.block_until_ready(metrics)
             t_sustained = (time.perf_counter(), i + 1)
-            t_log = (time.perf_counter(), i + 1)
+            t_log = t_sustained
         if (i + 1) % args.log_every == 0 or i == launches - 1:
             jax.block_until_ready(metrics)
             now = time.perf_counter()
@@ -188,8 +201,11 @@ def main():
                 flush=True,
             )
         if args.save and args.save_every and (i + 1) % args.save_every == 0:
+            # a literal "{i}" in --save writes indexed snapshots (select the
+            # best one by offline eval instead of keeping only the last)
             checkpoint.save(
-                args.save, {"params": state.params, "obs_norm": state.obs_norm}
+                args.save.replace("{i}", str((i + 1) * args.chain)),
+                {"params": state.params, "obs_norm": state.obs_norm},
             )
     if t_sustained is not None and launches > t_sustained[1]:
         jax.block_until_ready(state.params)

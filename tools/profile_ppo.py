@@ -35,6 +35,11 @@ def main():
     p.add_argument("--num-epochs", type=int, default=4)
     p.add_argument("--rollout-unroll", type=int, default=1)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument(
+        "--chain", type=int, default=1,
+        help="profile a lax.scan of K train steps per launch (the training "
+        "scripts' --chain path) instead of a single step",
+    )
     p.add_argument("--out", default="/tmp/rsoccer_ppo_trace")
     args = p.parse_args()
 
@@ -63,27 +68,40 @@ def main():
         ),
     )
     state = trainer.init(jax.random.PRNGKey(0))
-    step = jax.jit(trainer.train_step, donate_argnums=0)
+    if args.chain > 1:
 
+        def chained(state, key):
+            state, ms = jax.lax.scan(
+                trainer.train_step, state, jax.random.split(key, args.chain)
+            )
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
+        step = jax.jit(chained, donate_argnums=0)
+    else:
+        step = jax.jit(trainer.train_step, donate_argnums=0)
+
+    # scalar outputs can report ready before the launch fully retires on
+    # tunneled runtimes — sync the WHOLE state tree for honest timing
     state, ms = step(state, jax.random.PRNGKey(1))
-    float(ms["loss"])  # true sync (see bench.py)
+    jax.block_until_ready(state)
     state, ms = step(state, jax.random.PRNGKey(2))
-    float(ms["loss"])
+    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, ms = step(state, jax.random.PRNGKey(3 + i))
-    float(ms["loss"])
-    dt = (time.perf_counter() - t0) / args.iters
+        jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / (args.iters * args.chain)
     steps_per = args.rollout_steps * args.envs
     print(
         f"{dt * 1e3:.1f} ms/update, {steps_per / dt / 1e6:.2f}M env-steps/s "
-        f"({args.envs} envs x {args.rollout_steps} rollout steps)"
+        f"({args.envs} envs x {args.rollout_steps} rollout steps, "
+        f"chain {args.chain}, full-tree sync)"
     )
 
     jax.profiler.start_trace(args.out)
     state, ms = step(state, jax.random.PRNGKey(99))
-    float(ms["loss"])
+    jax.block_until_ready(state)
     jax.profiler.stop_trace()
 
     paths = glob.glob(os.path.join(args.out, "**", "*.trace.json.gz"), recursive=True)

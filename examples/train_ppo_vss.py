@@ -221,10 +221,11 @@ def main():
     if args.save:
         # the obs normaliser is part of the policy: evaluating the params
         # without it feeds the network unnormalised observations
+        final = args.save.replace("{i}", str(args.updates))
         checkpoint.save(
-            args.save, {"params": state.params, "obs_norm": state.obs_norm}
+            final, {"params": state.params, "obs_norm": state.obs_norm}
         )
-        print(f"saved params+obs_norm to {args.save}")
+        print(f"saved params+obs_norm to {final}")
 
 
 if __name__ == "__main__":

@@ -60,6 +60,9 @@ def main():
                    choices=["input", "kernel"],
                    help="with --pallas-full: 'kernel' = in-kernel TPU "
                    "hardware PRNG (fastest; TPU only)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="base seed: init key = PRNGKey(seed), per-iter keys "
+                   "fold_in from PRNGKey(seed+1)")
     p.add_argument("--chain", type=int, default=1,
                    help="fuse K iterations into one jitted lax.scan launch "
                    "(per-iter device work is sub-ms, so on tunneled TPU "
@@ -87,7 +90,7 @@ def main():
             n_step=args.n_step, gamma=args.gamma,
         ),
     )
-    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.init(jax.random.PRNGKey(args.seed))
     step = jax.jit(trainer.train_step, donate_argnums=0)
     if args.chain > 1:
         if args.iters % args.chain:
@@ -122,8 +125,8 @@ def main():
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
 
-    base_key = jax.random.PRNGKey(1)
-    base_ekey = jax.random.PRNGKey(2)
+    base_key = jax.random.PRNGKey(args.seed + 1)
+    base_ekey = jax.random.PRNGKey(args.seed + 2)
     start = 0
     if args.resume and args.state_save:
         import os as _os

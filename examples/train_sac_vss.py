@@ -198,7 +198,11 @@ def main():
             print(f"eval @ iter {i}: {rec['eval']}")
             emit(rec)
             if args.save:
-                checkpoint.save(args.save, state.actor_params)
+                # a literal "{i}" writes indexed snapshots at eval points
+                # (offline best-checkpoint selection)
+                checkpoint.save(
+                    args.save.replace("{i}", str(i + 1)), state.actor_params
+                )
             if args.state_save:
                 # full TrainState (replay buffer included): --resume
                 # continues a cut run from here
@@ -211,8 +215,9 @@ def main():
     print(f"{steps/1e6:.2f}M env-steps in {time.perf_counter()-t0:.0f}s")
 
     if args.save:
-        checkpoint.save(args.save, state.actor_params)
-        print(f"saved actor params to {args.save}")
+        final = args.save.replace("{i}", str(args.iters))
+        checkpoint.save(final, state.actor_params)
+        print(f"saved actor params to {final}")
     if log_f:
         log_f.close()
 

@@ -153,6 +153,14 @@ def main():
         state = state._replace(params=ck["params"], obs_norm=ck["obs_norm"])
         print(f"warm-started params+obs_norm from {args.init}")
     if args.chain > 1:
+        # the loop below indexes LAUNCHES of --chain updates each, so both
+        # the total and the save cadence must land on chain boundaries or
+        # the run would execute extra updates / silently reinterpret
+        # --save-every in launches (mirrors the SAC script's checks)
+        if args.updates % args.chain:
+            p.error("--updates must be divisible by --chain")
+        if args.save_every % args.chain:
+            p.error("--save-every must be a multiple of --chain (or 0)")
         # one launch = --chain full PPO iterations under lax.scan; metrics
         # of the last iteration in the chain are returned for logging
         def chained(state, key):
@@ -187,20 +195,26 @@ def main():
             jax.block_until_ready(metrics)
             now = time.perf_counter()
             n_launch = i + 1 - t_log[1]
-            rate = (
-                steps_per_update * args.chain * n_launch / (now - t_log[0])
+            # during the i<3 warm-up t_log was just reset, so n_launch is
+            # 0 and no rate is measurable yet — omit the field rather
+            # than printing nan
+            rate_s = (
+                f"  env-steps/s "
+                f"{steps_per_update * args.chain * n_launch / (now - t_log[0]):,.0f}"
                 if n_launch
-                else float("nan")
+                else ""
             )
             t_log = (now, i + 1)
             print(
                 f"update {i * args.chain:5d}  "
                 f"reward/step {float(metrics['mean_reward']):+.4f}  "
-                f"loss {float(metrics['loss']):+.4f}  "
-                f"env-steps/s {rate:,.0f}",
+                f"loss {float(metrics['loss']):+.4f}" + rate_s,
                 flush=True,
             )
-        if args.save and args.save_every and (i + 1) % args.save_every == 0:
+        if (
+            args.save and args.save_every
+            and ((i + 1) * args.chain) % args.save_every == 0
+        ):
             # a literal "{i}" in --save writes indexed snapshots (select the
             # best one by offline eval instead of keeping only the last)
             checkpoint.save(

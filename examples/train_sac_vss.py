@@ -158,10 +158,15 @@ def main():
         chain_step = jax.jit(chained, donate_argnums=0)
         if start % args.chain:
             # saves land on eval boundaries (multiples of --chain); a
-            # foreign meta file could still be misaligned — re-run the
-            # partial block rather than compiling a second program
-            start -= start % args.chain
-            print(f"aligned resume down to iter {start} (chain boundary)")
+            # foreign meta file is misaligned — re-running the partial
+            # block on the RESTORED (already-advanced) state would break
+            # the identical-key-stream invariant and mislabel snapshots,
+            # so refuse, mirroring the other divisibility checks
+            p.error(
+                f"resume iter {start} is not a multiple of --chain "
+                f"{args.chain}; restore a chain-aligned state or rerun "
+                "with --chain 1"
+            )
 
     i = start
     while i < args.iters:
@@ -174,12 +179,21 @@ def main():
             k = jax.random.fold_in(base_key, i)
             state, m = step(state, k)
         last = i == args.iters - 1
-        if i % max(1, args.iters // 10) == 0 or last:
+        # under --chain the loop only ever visits i = k*chain - 1, so an
+        # exact `i % every == 0` check essentially never fires; instead
+        # emit whenever this launch's block [i-chain+1, i] CROSSED a
+        # boundary (reduces to `(i+1) % every == 0` at --chain 1)
+        block = max(args.chain, 1)
+
+        def crossed(every):
+            return (i + 1) // every > (i + 1 - block) // every
+
+        if crossed(max(1, args.iters // 10)) or last:
             print(
                 f"iter {i:5d}  reward/step {float(m['mean_reward']):+.4f}  "
                 f"q_loss {float(m['q_loss']):.4f}  alpha {float(m['alpha']):.3f}"
             )
-        if log_f and (i % args.log_every == 0 or last):
+        if log_f and (crossed(args.log_every) or last):
             emit({
                 "iter": i, "env_steps": (i + 1) * spi,
                 "wall_s": round(time.perf_counter() - t0, 1),

@@ -44,6 +44,15 @@ def main():
     p.add_argument("--n-step", type=int, default=1,
                    help="n-step Q targets (sparse-terminal-reward fix)")
     p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 actor/critic matmuls (f32 params+heads); "
+                   "MXU-rate compute, measured learning parity on SD")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--grad-steps", type=int, default=2,
+                   help="gradient steps per iteration (UTD knob)")
+    p.add_argument("--env-steps-per-iter", type=int, default=1,
+                   help="batched env steps collected per iteration; raising "
+                   "it lowers the update:data ratio (throughput knob)")
     p.add_argument("--env-kwargs", default="{}",
                    help="JSON kwargs for the TRAINING env (e.g. curriculum);"
                    " evaluation always runs the default reference-exact env")
@@ -84,10 +93,13 @@ def main():
     trainer = SACTrainer(
         benv,
         SACConfig(
-            batch_size=512, warmup_steps=50, grad_steps_per_iter=2,
+            batch_size=args.batch_size, warmup_steps=50,
+            grad_steps_per_iter=args.grad_steps,
+            env_steps_per_iter=args.env_steps_per_iter,
             reward_scale=args.reward_scale,
             target_entropy_scale=args.target_entropy_scale,
             n_step=args.n_step, gamma=args.gamma,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         ),
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))

@@ -27,6 +27,11 @@ class SACConfig(NamedTuple):
     gamma: float = 0.99
     tau: float = 0.005  # polyak rate
     lr: float = 3e-4
+    compute_dtype: Any = jnp.float32  # actor/critic matmul dtype; bf16
+    # doubles MXU throughput (mirrors networks.ActorCritic).  Params and
+    # the Q/mean/log_std heads stay f32 either way.  Default f32 keeps
+    # existing checkpoints' eval numerics bit-stable; flip per-run via
+    # train_sac_vss.py --bf16.
     init_alpha: float = 0.1
     target_entropy_scale: float = 1.0  # target entropy = -scale * act_dim
     warmup_steps: int = 1000  # uniform-random actions before learning
@@ -46,12 +51,16 @@ class SACConfig(NamedTuple):
 class SquashedGaussianActor(nn.Module):
     action_size: int
     hidden: tuple = (256, 256)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = obs
+        x = obs.astype(self.compute_dtype)
         for i, h in enumerate(self.hidden):
-            x = nn.relu(nn.Dense(h, name=f"fc{i}")(x))
+            x = nn.relu(
+                nn.Dense(h, name=f"fc{i}", dtype=self.compute_dtype)(x)
+            )
+        x = x.astype(jnp.float32)
         mean = nn.Dense(self.action_size, name="mean")(x)
         log_std = jnp.clip(nn.Dense(self.action_size, name="log_std")(x), -5.0, 2.0)
         return mean, log_std
@@ -59,13 +68,16 @@ class SquashedGaussianActor(nn.Module):
 
 class QCritic(nn.Module):
     hidden: tuple = (256, 256)
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs, action):
-        x = jnp.concatenate([obs, action], axis=-1)
+        x = jnp.concatenate([obs, action], axis=-1).astype(self.compute_dtype)
         for i, h in enumerate(self.hidden):
-            x = nn.relu(nn.Dense(h, name=f"fc{i}")(x))
-        return nn.Dense(1, name="q")(x)[..., 0]
+            x = nn.relu(
+                nn.Dense(h, name=f"fc{i}", dtype=self.compute_dtype)(x)
+            )
+        return nn.Dense(1, name="q")(x.astype(jnp.float32))[..., 0]
 
 
 def sample_squashed(key, mean, log_std):
@@ -201,11 +213,25 @@ class SACState(NamedTuple):
 
 
 class SACTrainer:
-    def __init__(self, benv: BatchedEnv, config: SACConfig = SACConfig()):
+    def __init__(
+        self,
+        benv: BatchedEnv,
+        config: SACConfig = SACConfig(),
+        axis_name: str | None = None,
+    ):
+        """``axis_name``: mesh axis to ``pmean`` gradients over.  Set when
+        this trainer runs INSIDE ``shard_map`` as the per-device half of a
+        data-parallel step (parallel/sac.py): each device computes grads on
+        its local replay minibatch, the pmean makes the applied update the
+        gradient of the global-batch mean, so replicated params stay
+        bit-identical across devices.  None (default) = single-device."""
         self.benv = benv
         self.cfg = config
-        self.actor = SquashedGaussianActor(action_size=benv.action_size)
-        self.q = QCritic()
+        self.axis_name = axis_name
+        self.actor = SquashedGaussianActor(
+            action_size=benv.action_size, compute_dtype=config.compute_dtype
+        )
+        self.q = QCritic(compute_dtype=config.compute_dtype)
         self.tx = optax.adam(config.lr)
         self.target_entropy = -config.target_entropy_scale * benv.action_size
         # sample_nstep walks n_step strided links of stride n_envs through
@@ -303,8 +329,18 @@ class SACTrainer:
             q = self.q.apply(params, obs, action)
             return jnp.mean((q - target_q) ** 2)
 
-        g1 = jax.grad(q_loss)(state.q1_params)
-        g2 = jax.grad(q_loss)(state.q2_params)
+        # cross-device mean: per-shard minibatches are equal-sized, so the
+        # pmean of per-shard mean-grads IS the grad of the global-batch
+        # mean loss (identity when axis_name is unset)
+        pmean = (
+            (lambda t: jax.tree.map(
+                lambda g: jax.lax.pmean(g, self.axis_name), t
+            ))
+            if self.axis_name
+            else (lambda t: t)
+        )
+        g1 = pmean(jax.grad(q_loss)(state.q1_params))
+        g2 = pmean(jax.grad(q_loss)(state.q2_params))
         u1, opt_q1 = self.tx.update(g1, state.opt_q1)
         u2, opt_q2 = self.tx.update(g2, state.opt_q2)
         q1_params = optax.apply_updates(state.q1_params, u1)
@@ -321,6 +357,7 @@ class SACTrainer:
         (a_loss, logp), ga = jax.value_and_grad(actor_loss, has_aux=True)(
             state.actor_params
         )
+        ga = pmean(ga)
         ua, opt_actor = self.tx.update(ga, state.opt_actor)
         actor_params = optax.apply_updates(state.actor_params, ua)
 
@@ -330,7 +367,7 @@ class SACTrainer:
                 * jax.lax.stop_gradient(logp + self.target_entropy)
             )
 
-        gal = jax.grad(alpha_loss)(state.log_alpha)
+        gal = pmean(jax.grad(alpha_loss)(state.log_alpha))
         ual, opt_alpha = self.tx.update(gal, state.opt_alpha)
         log_alpha = optax.apply_updates(state.log_alpha, ual)
 

@@ -110,3 +110,26 @@ def test_two_process_ppo_train_step_matches_single_process():
         single["param_checksum"], rel=1e-5
     )
     assert multi["obs_sum"] == pytest.approx(single["obs_sum"], rel=1e-5)
+
+
+def test_two_process_sac_train_step_matches_single_process():
+    """The FULL sharded SAC train step across process boundaries: env
+    collection into per-shard replay rings, local n-step minibatch
+    sampling, and the pmean'd gradient updates must produce the same
+    replicated params as a single-process run of the same 8-device
+    program."""
+    multi = _run_distributed("sac", num_processes=2, n_local=4)
+    single = _run_single("sac")
+    assert multi["global_devices"] == 8
+    assert single["global_devices"] == 8
+    assert multi["q_loss"] == pytest.approx(single["q_loss"], rel=1e-4)
+    assert multi["mean_reward"] == pytest.approx(
+        single["mean_reward"], rel=1e-4
+    )
+    assert multi["alpha"] == pytest.approx(single["alpha"], rel=1e-4)
+    assert multi["param_checksum"] == pytest.approx(
+        single["param_checksum"], rel=1e-5
+    )
+    assert multi["obs_sum"] == pytest.approx(single["obs_sum"], rel=1e-5)
+    # 10 iters x (64/8) local envs inserted per iter
+    assert multi["filled_local"] == single["filled_local"] == 80

@@ -94,6 +94,64 @@ def test_shard_map_rollout(eight_devices):
     )
 
 
+def test_sharded_sac_step(eight_devices):
+    """Full SAC iteration over the mesh: per-shard replay rings, pmean'd
+    gradients.  Params must stay bit-identical across devices, the local
+    ring bookkeeping must advance, and the program must actually learn
+    (params move, losses finite)."""
+    import jax.numpy as jnp
+
+    from rsoccer_tpu.models.sac import SACConfig
+    from rsoccer_tpu.parallel.sac import make_sharded_sac
+
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 32)
+    cfg = SACConfig(buffer_size=1024, batch_size=64, warmup_steps=2)
+    mesh = M.make_env_mesh(8)
+    local, init, step = make_sharded_sac(benv, cfg, mesh)
+    assert local.benv.n_envs == 4
+    assert local.cfg.buffer_size == 128 and local.cfg.batch_size == 8
+
+    state = init(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(np.asarray, state.actor_params)
+    jstep = jax.jit(step, donate_argnums=0)
+    for i in range(6):
+        state, m = jstep(state, jax.random.fold_in(jax.random.PRNGKey(1), i))
+    jax.block_until_ready(m)
+
+    assert all(np.isfinite(float(v)) for v in m.values())
+    # per-shard bookkeeping: 6 iters x 4 local envs
+    assert int(state.buffer.filled) == 24 and int(state.total_steps) == 6
+    # replay ring is actually sharded on the capacity axis
+    assert len(state.buffer.obs.sharding.device_set) == 8
+    assert state.buffer.obs.addressable_shards[0].data.shape[0] == 128
+    # params replicated bit-identically across all 8 devices
+    for leaf in jax.tree.leaves(state.actor_params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+    # ... and they moved (the update applied)
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.actor_params))
+    )
+    assert moved
+
+
+def test_sharded_sac_indivisible_rejected(eight_devices):
+    from rsoccer_tpu.models.sac import SACConfig
+    from rsoccer_tpu.parallel.sac import make_sharded_sac
+
+    env = rsoccer_tpu.make("VSS-v0")
+    mesh = M.make_env_mesh(8)
+    with pytest.raises(ValueError):
+        make_sharded_sac(BatchedEnv(env, 30), SACConfig(), mesh)
+    with pytest.raises(ValueError):
+        make_sharded_sac(
+            BatchedEnv(env, 32), SACConfig(batch_size=60), mesh
+        )
+
+
 def test_shard_map_rollout_pallas_full(eight_devices, monkeypatch):
     """The production combination: full-step kernel + explicit-SPMD mesh.
 

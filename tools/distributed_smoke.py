@@ -37,10 +37,12 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--impl", choices=["jit", "shard_map", "ppo"], default="jit",
+        "--impl", choices=["jit", "shard_map", "ppo", "sac"], default="jit",
         help="jit: NamedSharding-partitioned rollout; shard_map: explicit "
         "SPMD; ppo: two FULL sharded PPO train steps (rollout + GAE + "
-        "minibatched updates, gradients averaged across the mesh)",
+        "minibatched updates, gradients averaged across the mesh); sac: "
+        "FULL sharded SAC iterations (per-shard replay rings, pmean'd "
+        "gradients, replicated params)",
     )
     args = p.parse_args()
 
@@ -71,6 +73,45 @@ def main():
     mesh = make_env_mesh()  # 1-D env mesh over ALL global devices
 
     key = jax.random.PRNGKey(args.seed)
+    if args.impl == "sac":
+        # the full off-policy learner across process boundaries: env batch
+        # AND replay ring sharded over the global mesh (each device owns a
+        # private ring fed by its local envs; n-step chains stay local),
+        # params/targets replicated via pmean'd gradients inside shard_map
+        from rsoccer_tpu.models.sac import SACConfig
+        from rsoccer_tpu.parallel.sac import make_sharded_sac
+
+        cfg = SACConfig(
+            buffer_size=args.envs * 16, batch_size=64, warmup_steps=2,
+            n_step=3,
+        )
+        _, init, sstep = make_sharded_sac(benv, cfg, mesh)
+        state = init(key)
+        step = jax.jit(sstep, donate_argnums=0)
+        metrics = None
+        for i in range(10):
+            state, metrics = step(state, jax.random.PRNGKey(100 + i))
+        jax.block_until_ready(metrics)
+        # params are replicated -> identical checksum on every process
+        psum = sum(
+            float(abs(l).sum()) for l in jax.tree.leaves(state.actor_params)
+        )
+        out = {
+            "impl": args.impl,
+            "num_processes": args.num_processes,
+            "global_devices": n_global,
+            "q_loss": float(metrics["q_loss"]),
+            "mean_reward": float(metrics["mean_reward"]),
+            "alpha": float(metrics["alpha"]),
+            "param_checksum": psum,
+            "obs_sum": float(abs(state.obs).sum()),
+            "filled_local": int(state.buffer.filled),
+        }
+        if args.process_id == 0:
+            print(json.dumps(out))
+        jax.distributed.shutdown()
+        return
+
     if args.impl == "ppo":
         # the full learner across process boundaries: env batch sharded
         # over the global mesh (dp), params/opt replicated, the batch-mean

@@ -96,23 +96,39 @@ def sample_squashed(key, mean, log_std):
 class Buffer(NamedTuple):
     obs: jnp.ndarray  # (C, O)
     action: jnp.ndarray  # (C, A)
-    reward: jnp.ndarray  # (C,)
+    rdb: jnp.ndarray  # (C, 3) packed scalars [reward, done, boundary]:
+    # done = terminated only (not truncation); boundary = episode end of
+    # ANY kind (term | trunc) — the next same-env slot starts a fresh
+    # episode, so n-step chains stop there.  Packed into one ring so the
+    # n-step chain walk costs ONE row gather instead of three scalar
+    # gathers (random scalar gathers are latency-bound on TPU and were
+    # the top ops of the SAC iteration, tools/profile_sac.py).
     next_obs: jnp.ndarray  # (C, O)
-    done: jnp.ndarray  # (C,) terminated only (not truncation)
-    boundary: jnp.ndarray  # (C,) episode end of ANY kind (term | trunc):
-    # the next same-env slot starts a fresh episode, so n-step chains stop
     ptr: jnp.ndarray
     filled: jnp.ndarray
+
+    # column indices of the packed scalar ring
+    R, D, B = 0, 1, 2
+
+    @property
+    def reward(self):
+        return self.rdb[:, Buffer.R]
+
+    @property
+    def done(self):
+        return self.rdb[:, Buffer.D]
+
+    @property
+    def boundary(self):
+        return self.rdb[:, Buffer.B]
 
     @staticmethod
     def init(capacity, obs_size, action_size):
         return Buffer(
             obs=jnp.zeros((capacity, obs_size)),
             action=jnp.zeros((capacity, action_size)),
-            reward=jnp.zeros((capacity,)),
+            rdb=jnp.zeros((capacity, 3)),
             next_obs=jnp.zeros((capacity, obs_size)),
-            done=jnp.zeros((capacity,)),
-            boundary=jnp.zeros((capacity,)),
             ptr=jnp.zeros((), jnp.int32),
             filled=jnp.zeros((), jnp.int32),
         )
@@ -121,14 +137,24 @@ class Buffer(NamedTuple):
         """Insert B transitions at the circular pointer (B must divide C)."""
         b = obs.shape[0]
         c = self.obs.shape[0]
-        idx = (self.ptr + jnp.arange(b)) % c
+        if c % b == 0:
+            # ptr starts at 0 and advances by b mod c, so when b divides c
+            # the block [ptr, ptr+b) never wraps — the insert is ONE
+            # contiguous dynamic-slice DMA per array.  The equivalent
+            # row-scatter (`.at[idx].set`) lowers to a serial scatter on
+            # TPU and was the top op of the whole SAC iteration (~300 us
+            # per array at 4096 envs, tools/profile_sac.py).
+            upd = lambda arr, val: jax.lax.dynamic_update_slice_in_dim(
+                arr, val, self.ptr, axis=0
+            )
+        else:
+            idx = (self.ptr + jnp.arange(b)) % c
+            upd = lambda arr, val: arr.at[idx].set(val)
         return self._replace(
-            obs=self.obs.at[idx].set(obs),
-            action=self.action.at[idx].set(action),
-            reward=self.reward.at[idx].set(reward),
-            next_obs=self.next_obs.at[idx].set(next_obs),
-            done=self.done.at[idx].set(done),
-            boundary=self.boundary.at[idx].set(boundary),
+            obs=upd(self.obs, obs),
+            action=upd(self.action, action),
+            rdb=upd(self.rdb, jnp.stack([reward, done, boundary], axis=-1)),
+            next_obs=upd(self.next_obs, next_obs),
             ptr=(self.ptr + b) % c,
             filled=jnp.minimum(self.filled + b, c),
         )
@@ -138,9 +164,10 @@ class Buffer(NamedTuple):
             key, (batch_size,), 0, jnp.maximum(self.filled, 1)
         )
         take = lambda arr: arr[idx]
+        rdb = take(self.rdb)
         return (
-            take(self.obs), take(self.action), take(self.reward),
-            take(self.next_obs), take(self.done),
+            take(self.obs), take(self.action), rdb[:, Buffer.R],
+            take(self.next_obs), rdb[:, Buffer.D],
         )
 
     def sample_nstep(self, key, batch_size, stride, n_step, gamma):
@@ -154,6 +181,8 @@ class Buffer(NamedTuple):
         where all ``n_step`` links are stored (offset < filled - (n-1)*B
         from the OLDEST element), so they never straddle the write head.
         Reduces exactly to :meth:`sample` semantics at ``n_step=1``."""
+        import numpy as np
+
         c = self.obs.shape[0]
         span = (n_step - 1) * stride
         valid = jnp.maximum(self.filled - span, 1)
@@ -161,49 +190,52 @@ class Buffer(NamedTuple):
         off = jax.random.randint(key, (batch_size,), 0, valid)
         base = jnp.mod(start + off, c)
 
-        g = jnp.zeros((batch_size,))
-        alive = jnp.ones((batch_size,))
-        boot_obs = jnp.zeros((batch_size, self.obs.shape[1]))
-        boot_disc = jnp.zeros((batch_size,))
-        for k in range(n_step):
-            pos = jnp.mod(base + k * stride, c)
-            r_k = self.reward[pos]
-            b_k = self.boundary[pos]
-            d_k = self.done[pos]
-            g = g + alive * (gamma**k) * r_k
-            # chain ends here if the episode ended, we ran out of steps, or
-            # the next link isn't stored yet (early filling, when the
-            # valid-window clamp above cannot exclude short chains — the
-            # chain then truncates here and bootstraps from THIS next_obs
-            # instead of reading unwritten slots)
-            next_unwritten = (
-                jnp.zeros((batch_size,), bool)
-                if k == n_step - 1
-                else (off + (k + 1) * stride) >= self.filled
-            )
-            is_last = alive * jnp.where(
-                (b_k > 0.0) | (k == n_step - 1) | next_unwritten, 1.0, 0.0
-            )
-            boot_obs = jnp.where(
-                is_last[:, None] > 0.0, self.next_obs[pos], boot_obs
-            )
-            boot_disc = jnp.where(
-                is_last > 0.0, (gamma ** (k + 1)) * (1.0 - d_k), boot_disc
-            )
-            alive = alive * (1.0 - jnp.maximum(b_k, next_unwritten))
+        # all n_step links of every chain gathered at once — ONE gather per
+        # ring array instead of a Python loop of n_step small gathers (the
+        # loop form was ~half the SAC iteration's op count,
+        # tools/profile_sac.py)
+        ks = jnp.arange(n_step)
+        pos = jnp.mod(base[None, :] + ks[:, None] * stride, c)  # (n, B)
+        rdb = self.rdb[pos]  # (n, B, 3) — one row gather for all scalars
+        r = rdb[..., Buffer.R]
+        b = rdb[..., Buffer.B]
+        # a chain link ends the walk if its episode ended there, or the
+        # NEXT link isn't stored yet (early filling, when the valid-window
+        # clamp cannot exclude short chains — the chain then truncates and
+        # bootstraps from THIS next_obs instead of reading unwritten slots)
+        unwritten = (off[None, :] + (ks[:, None] + 1) * stride) >= self.filled
+        unwritten = unwritten.at[-1].set(False)  # k = n-1: no next link
+        kill = jnp.maximum(b, unwritten.astype(b.dtype))
+        alive = jnp.concatenate(
+            [jnp.ones((1, batch_size)), jnp.cumprod(1.0 - kill, axis=0)[:-1]],
+            axis=0,
+        )  # exclusive product: link k alive iff no earlier link killed it
+        gammas = jnp.asarray(
+            np.power(float(gamma), np.arange(n_step + 1)), dtype=r.dtype
+        )
+        g = jnp.sum(alive * gammas[:n_step, None] * r, axis=0)
+        stop = (b > 0.0) | unwritten | (ks[:, None] == n_step - 1)
+        last = jnp.argmax((alive > 0.0) & stop, axis=0)  # first chain end
+        take_last = lambda a: jnp.take_along_axis(a, last[None, :], axis=0)[0]
+        pos_last = take_last(pos)
+        boot_obs = self.next_obs[pos_last]
+        # done at the chain end comes from the already-gathered block
+        boot_disc = gammas[last + 1] * (1.0 - take_last(rdb[..., Buffer.D]))
         return self.obs[base], self.action[base], g, boot_obs, boot_disc
 
 
 class SACState(NamedTuple):
     actor_params: Any
-    q1_params: Any
-    q2_params: Any
-    q1_target: Any
-    q2_target: Any
+    qs_params: Any  # twin critics as ONE stacked tree (leading axis 2):
+    # vmapped apply runs both critics in single double-width ops, and one
+    # Adam/polyak chain serves both.  The q loss is separable per critic,
+    # so the stacked update is mathematically identical to two separate
+    # critics — at roughly half the op count (the SAC iteration is
+    # small-op-bound on TPU, tools/profile_sac.py).
+    qs_target: Any
     log_alpha: jnp.ndarray
     opt_actor: optax.OptState
-    opt_q1: optax.OptState
-    opt_q2: optax.OptState
+    opt_qs: optax.OptState
     opt_alpha: optax.OptState
     buffer: Buffer
     env_state: Any
@@ -252,18 +284,19 @@ class SACTrainer:
         actor_params = self.actor.init(ka, obs_d)
         q1 = self.q.init(k1, obs_d, act_d)
         q2 = self.q.init(k2, obs_d, act_d)
+        qs = jax.tree.map(lambda a, b: jnp.stack([a, b]), q1, q2)
         env_state, obs = self.benv.reset(kenv)
         log_alpha = jnp.log(jnp.asarray(self.cfg.init_alpha))
         copy = lambda t: jax.tree.map(jnp.copy, t)
         return SACState(
             actor_params=actor_params,
-            q1_params=q1, q2_params=q2,
+            qs_params=qs,
             # distinct buffers: aliasing the live critics would make donated
             # train steps hand the same buffer to Execute() twice
-            q1_target=copy(q1), q2_target=copy(q2),
+            qs_target=copy(qs),
             log_alpha=log_alpha,
             opt_actor=self.tx.init(actor_params),
-            opt_q1=self.tx.init(q1), opt_q2=self.tx.init(q2),
+            opt_qs=self.tx.init(qs),
             opt_alpha=self.tx.init(log_alpha),
             buffer=Buffer.init(
                 self.cfg.buffer_size, self.benv.obs_size, self.benv.action_size
@@ -307,6 +340,12 @@ class SACTrainer:
             total_steps=state.total_steps + 1,
         ), reward
 
+    def _q_both(self, qs_params, obs, action):
+        """Both critics in one vmapped (double-width) pass -> (2, B)."""
+        return jax.vmap(self.q.apply, in_axes=(0, None, None))(
+            qs_params, obs, action
+        )
+
     def _update(self, state: SACState, key):
         cfg = self.cfg
         k_s, k_next, k_pi = jax.random.split(key, 3)
@@ -319,15 +358,17 @@ class SACTrainer:
         # the classic  r + gamma (1-done) V(next_obs)
         n_mean, n_log_std = self.actor.apply(state.actor_params, boot_obs)
         next_a, next_logp = sample_squashed(k_next, n_mean, n_log_std)
-        tq1 = self.q.apply(state.q1_target, boot_obs, next_a)
-        tq2 = self.q.apply(state.q2_target, boot_obs, next_a)
-        target_v = jnp.minimum(tq1, tq2) - alpha * next_logp
+        tq = self._q_both(state.qs_target, boot_obs, next_a)
+        target_v = jnp.min(tq, axis=0) - alpha * next_logp
         target_q = cfg.reward_scale * g + boot_disc * target_v
         target_q = jax.lax.stop_gradient(target_q)
 
         def q_loss(params):
-            q = self.q.apply(params, obs, action)
-            return jnp.mean((q - target_q) ** 2)
+            q = self._q_both(params, obs, action)
+            # SUM of the two per-critic mean losses: the loss separates
+            # over the stacked axis, so the grad of each slice equals the
+            # standalone critic's grad — one Adam chain, same update
+            return jnp.sum(jnp.mean((q - target_q[None, :]) ** 2, axis=1))
 
         # cross-device mean: per-shard minibatches are equal-sized, so the
         # pmean of per-shard mean-grads IS the grad of the global-batch
@@ -339,19 +380,14 @@ class SACTrainer:
             if self.axis_name
             else (lambda t: t)
         )
-        g1 = pmean(jax.grad(q_loss)(state.q1_params))
-        g2 = pmean(jax.grad(q_loss)(state.q2_params))
-        u1, opt_q1 = self.tx.update(g1, state.opt_q1)
-        u2, opt_q2 = self.tx.update(g2, state.opt_q2)
-        q1_params = optax.apply_updates(state.q1_params, u1)
-        q2_params = optax.apply_updates(state.q2_params, u2)
+        gq = pmean(jax.grad(q_loss)(state.qs_params))
+        uq, opt_qs = self.tx.update(gq, state.opt_qs)
+        qs_params = optax.apply_updates(state.qs_params, uq)
 
         def actor_loss(params):
             mean, log_std = self.actor.apply(params, obs)
             a, logp = sample_squashed(k_pi, mean, log_std)
-            q = jnp.minimum(
-                self.q.apply(q1_params, obs, a), self.q.apply(q2_params, obs, a)
-            )
+            q = jnp.min(self._q_both(qs_params, obs, a), axis=0)
             return jnp.mean(alpha * logp - q), logp
 
         (a_loss, logp), ga = jax.value_and_grad(actor_loss, has_aux=True)(
@@ -375,17 +411,17 @@ class SACTrainer:
             lambda a, b: (1 - cfg.tau) * a + cfg.tau * b, t, p
         )
         metrics = {
-            "q_loss": q_loss(q1_params),
+            # halved so the reported number stays the per-critic MSE scale
+            "q_loss": q_loss(qs_params) * 0.5,
             "actor_loss": a_loss,
             "alpha": jnp.exp(log_alpha),
         }
         return state._replace(
             actor_params=actor_params,
-            q1_params=q1_params, q2_params=q2_params,
-            q1_target=polyak(state.q1_target, q1_params),
-            q2_target=polyak(state.q2_target, q2_params),
+            qs_params=qs_params,
+            qs_target=polyak(state.qs_target, qs_params),
             log_alpha=log_alpha,
-            opt_actor=opt_actor, opt_q1=opt_q1, opt_q2=opt_q2,
+            opt_actor=opt_actor, opt_qs=opt_qs,
             opt_alpha=opt_alpha,
         ), metrics
 

@@ -55,23 +55,18 @@ def _state_specs(state_like) -> SACState:
     buffer_spec = Buffer(
         obs=P(ENV_AXIS, None),
         action=P(ENV_AXIS, None),
-        reward=P(ENV_AXIS),
+        rdb=P(ENV_AXIS, None),
         next_obs=P(ENV_AXIS, None),
-        done=P(ENV_AXIS),
-        boundary=P(ENV_AXIS),
         ptr=P(),
         filled=P(),
     )
     return SACState(
         actor_params=rep(state_like.actor_params),
-        q1_params=rep(state_like.q1_params),
-        q2_params=rep(state_like.q2_params),
-        q1_target=rep(state_like.q1_target),
-        q2_target=rep(state_like.q2_target),
+        qs_params=rep(state_like.qs_params),
+        qs_target=rep(state_like.qs_target),
         log_alpha=P(),
         opt_actor=rep(state_like.opt_actor),
-        opt_q1=rep(state_like.opt_q1),
-        opt_q2=rep(state_like.opt_q2),
+        opt_qs=rep(state_like.opt_qs),
         opt_alpha=rep(state_like.opt_alpha),
         buffer=buffer_spec,
         env_state=blast(state_like.env_state),

@@ -118,8 +118,8 @@ def test_train_step_runs_and_updates(trainer):
     p1 = jax.tree.leaves(s1.actor_params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
     # targets moved toward the new critics (polyak)
-    t0 = jax.tree.leaves(state.q1_target)[0]
-    t1 = jax.tree.leaves(s1.q1_target)[0]
+    t0 = jax.tree.leaves(state.qs_target)[0]
+    t1 = jax.tree.leaves(s1.qs_target)[0]
     assert not np.allclose(np.asarray(t0), np.asarray(t1))
 
 

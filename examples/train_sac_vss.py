@@ -56,6 +56,14 @@ def main():
     p.add_argument("--env-kwargs", default="{}",
                    help="JSON kwargs for the TRAINING env (e.g. curriculum);"
                    " evaluation always runs the default reference-exact env")
+    p.add_argument("--init", default="",
+                   help="warm-start the ACTOR from an {actor_params} "
+                   "checkpoint (tools/bc_warmstart.py --target sac); "
+                   "critics/temperature start fresh — pair with "
+                   "--actor-freeze so they catch up first")
+    p.add_argument("--actor-freeze", type=int, default=0,
+                   help="freeze actor+temperature updates for the first N "
+                   "iters (critics keep learning)")
     p.add_argument("--state-save", default="",
                    help="save the FULL SACState (replay buffer included) at"
                    " every eval point; crash insurance for long runs")
@@ -100,9 +108,15 @@ def main():
             target_entropy_scale=args.target_entropy_scale,
             n_step=args.n_step, gamma=args.gamma,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            actor_freeze_iters=args.actor_freeze,
         ),
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    if args.init:
+        like = {"actor_params": state.actor_params}
+        ck = jax.tree.map(jnp.asarray, checkpoint.restore(args.init, like=like))
+        state = state._replace(actor_params=ck["actor_params"])
+        print(f"warm-started actor from {args.init}")
     step = jax.jit(trainer.train_step, donate_argnums=0)
     if args.chain > 1:
         if args.iters % args.chain:

@@ -32,6 +32,10 @@ class SACConfig(NamedTuple):
     # the Q/mean/log_std heads stay f32 either way.  Default f32 keeps
     # existing checkpoints' eval numerics bit-stable; flip per-run via
     # train_sac_vss.py --bf16.
+    actor_freeze_iters: int = 0  # keep the actor (and temperature) frozen
+    # for the first N iterations while the critics fit — the BC-warm-start
+    # analog of PPO's --critic-warmup: a cloned actor would otherwise be
+    # shredded by gradients from still-random critics in the first updates.
     init_alpha: float = 0.1
     target_entropy_scale: float = 1.0  # target entropy = -scale * act_dim
     warmup_steps: int = 1000  # uniform-random actions before learning
@@ -406,6 +410,21 @@ class SACTrainer:
         gal = pmean(jax.grad(alpha_loss)(state.log_alpha))
         ual, opt_alpha = self.tx.update(gal, state.opt_alpha)
         log_alpha = optax.apply_updates(state.log_alpha, ual)
+
+        if cfg.actor_freeze_iters:
+            # critics keep learning; actor/temperature hold until the value
+            # estimates are trustworthy (BC warm start protection)
+            # total_steps was already incremented by this iteration's
+            # collect, so iteration i sees total_steps == i+1: freeze the
+            # first N iterations means holding while total_steps <= N
+            frozen = state.total_steps <= cfg.actor_freeze_iters
+            hold = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(frozen, o, n), new, old
+            )
+            actor_params = hold(actor_params, state.actor_params)
+            opt_actor = hold(opt_actor, state.opt_actor)
+            log_alpha = jnp.where(frozen, state.log_alpha, log_alpha)
+            opt_alpha = hold(opt_alpha, state.opt_alpha)
 
         polyak = lambda t, p: jax.tree.map(
             lambda a, b: (1 - cfg.tau) * a + cfg.tau * b, t, p

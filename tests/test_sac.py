@@ -141,6 +141,34 @@ def test_policy_deterministic_in_bounds(trainer):
     assert float(jnp.abs(acts).max()) <= 1.0
 
 
+def test_actor_freeze_holds_actor_while_critics_learn():
+    env = rsoccer_tpu.make("VSS-v0")
+    benv = BatchedEnv(env, 16)
+    cfg = SACConfig(
+        buffer_size=1 << 10, batch_size=64, warmup_steps=2,
+        actor_freeze_iters=3,
+    )
+    trainer = SACTrainer(benv, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    a0 = jax.tree.map(np.asarray, state.actor_params)
+    q0 = jax.tree.map(np.asarray, state.qs_params)
+    step = jax.jit(trainer.train_step)
+    for i in range(3):
+        state, _ = step(state, jax.random.PRNGKey(5 + i))
+    # within the freeze window: actor/alpha untouched, critics moved
+    for a, b in zip(jax.tree.leaves(a0), jax.tree.leaves(state.actor_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(q0), jax.tree.leaves(state.qs_params))
+    )
+    state, _ = step(state, jax.random.PRNGKey(9))
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(a0), jax.tree.leaves(state.actor_params))
+    )
+
+
 def test_sac_trains_on_pallas_full():
     """SAC now collects through step_final on the fused-kernel path (the
     kernels emit the pre-reset obs), so training on pallas_full is

@@ -67,6 +67,14 @@ def main():
     )
     p.add_argument("--eval-steps", type=int, default=0,
                    help="if >0, deterministic eval on the reference env after")
+    p.add_argument(
+        "--target", default="ppo", choices=["ppo", "sac"],
+        help="ppo: fit the ActorCritic mean head (checkpoint for "
+        "train_ppo_vss.py --init).  sac: fit the SquashedGaussianActor in "
+        "atanh (pre-squash) space — tanh(mean) == expert action — and "
+        "write an {actor_params} checkpoint for train_sac_vss.py --init; "
+        "obs enter the SAC nets raw (no normaliser), matching training",
+    )
     args = p.parse_args()
 
     expert = EXPERTS[args.env_id]
@@ -74,7 +82,12 @@ def main():
     benv = BatchedEnv(env, args.envs)
     expert_v = jax.vmap(expert, in_axes=-1, out_axes=-1)
 
-    net = ActorCritic(action_size=benv.action_size)
+    if args.target == "sac":
+        from rsoccer_tpu.models.sac import SquashedGaussianActor
+
+        net = SquashedGaussianActor(action_size=benv.action_size)
+    else:
+        net = ActorCritic(action_size=benv.action_size)
     tx = optax.adam(args.lr)
 
     # ---- collect ---------------------------------------------------------
@@ -92,6 +105,9 @@ def main():
                 label = expert_v(state)  # (A, B)
                 if behavior == "expert":
                     act = label
+                elif args.target == "sac":
+                    mean, _ = net.apply(params, obs.T)
+                    act = jnp.tanh(mean).T
                 else:
                     mean, _, _ = net.apply(params, obs_norm.normalize(obs.T))
                     act = jnp.clip(mean.T, -1.0, 1.0)
@@ -115,7 +131,7 @@ def main():
         opt_state = tx.init(params)
 
         def loss_fn(params, x, y):
-            mean, log_std, value = net.apply(params, x)
+            mean = net.apply(params, x)[0]
             return jnp.mean((mean - y) ** 2)
 
         def train_epoch(carry, ek):
@@ -147,9 +163,15 @@ def main():
     X.block_until_ready()
     print(f"collected {X.shape[0]} expert pairs in {time.perf_counter() - t0:.1f}s")
 
-    # normaliser comes from the expert distribution and stays fixed across
-    # DAgger rounds (it ships with the checkpoint)
-    obs_norm = ObsNorm.init(benv.obs_size).update(X)
+    if args.target == "sac":
+        # SAC nets see raw obs at training time; fit them the same way,
+        # and regress the PRE-squash mean so tanh(mean) == expert action
+        obs_norm = ObsNorm.init(benv.obs_size)  # identity
+        Y = jnp.arctanh(jnp.clip(Y, -0.999, 0.999))
+    else:
+        # normaliser comes from the expert distribution and stays fixed
+        # across DAgger rounds (it ships with the checkpoint)
+        obs_norm = ObsNorm.init(benv.obs_size).update(X)
 
     params, ls = fit(params, obs_norm.normalize(X), Y,
                      jax.random.PRNGKey(args.seed + 2))
@@ -159,27 +181,44 @@ def main():
         Xi, Yi = collect_policy(
             jax.random.PRNGKey(args.seed + 100 + it), params, obs_norm
         )
+        if args.target == "sac":
+            Yi = jnp.arctanh(jnp.clip(Yi, -0.999, 0.999))
         X = jnp.concatenate([X, Xi])
         Y = jnp.concatenate([Y, Yi])
         params, ls = fit(params, obs_norm.normalize(X), Y,
                          jax.random.PRNGKey(args.seed + 200 + it))
         print(f"dagger {it}: {X.shape[0]} pairs, final mse {float(ls[-1]):.5f}")
 
-    # set the policy std from the clone's residuals: log_std is untouched by
-    # the MSE fit (zero grad) and would stay at 0 — std 1.0 of exploration
-    # noise on a precision task wrecks the clone the moment PPO rolls it
-    # (measured: 96.8% -> 54.4% after a 300-update fine-tune).  Floor at
-    # 0.1 so fine-tuning still explores.
-    mean, _, _ = net.apply(params, obs_norm.normalize(X))
+    # set the policy std from the clone's residuals: the std params are
+    # untouched by the MSE fit (zero grad) and would stay at init — std 1.0
+    # of exploration noise on a precision task wrecks the clone the moment
+    # RL rolls it (measured: 96.8% -> 54.4% after a 300-update fine-tune).
+    # Floor at 0.1 so fine-tuning still explores.
+    mean = net.apply(params, obs_norm.normalize(X))[0]
     resid = jnp.sqrt(jnp.mean((mean - Y) ** 2, axis=0))
     log_std = jnp.log(jnp.clip(resid, 0.1, 1.0))
-    params = jax.tree_util.tree_map_with_path(
-        lambda p, v: log_std if p[-1].key == "log_std" else v, params
-    )
+    if args.target == "sac":
+        # the SAC log_std head is state-dependent (a Dense layer): zero its
+        # kernel and set its bias so every state starts at the residual std
+        def _set(path, v):
+            keys = [getattr(pp, "key", getattr(pp, "name", "")) for pp in path]
+            if "log_std" in keys:
+                return jnp.zeros_like(v) if v.ndim == 2 else log_std
+            return v
+
+        params = jax.tree_util.tree_map_with_path(_set, params)
+    else:
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, v: log_std if p[-1].key == "log_std" else v, params
+        )
     print("bc residual std per action dim:", [round(float(v), 4) for v in resid])
 
-    checkpoint.save(args.save, {"params": params, "obs_norm": obs_norm})
-    print(f"saved params+obs_norm to {args.save}")
+    if args.target == "sac":
+        checkpoint.save(args.save, {"actor_params": params})
+        print(f"saved SAC actor_params to {args.save}")
+    else:
+        checkpoint.save(args.save, {"params": params, "obs_norm": obs_norm})
+        print(f"saved params+obs_norm to {args.save}")
 
     # ---- optional deterministic eval on the reference-exact env ----------
     if args.eval_steps:
@@ -187,9 +226,14 @@ def main():
 
         ref_env = rsoccer_tpu.make(args.env_id)
         ref_benv = BatchedEnv(ref_env, 256)
-        policy = PPOTrainer(ref_benv).make_policy(
-            params, obs_norm=obs_norm, deterministic=True
-        )
+        if args.target == "sac":
+            def policy(key, obs):
+                mean = net.apply(params, obs.T)[0]
+                return jnp.tanh(mean).T
+        else:
+            policy = PPOTrainer(ref_benv).make_policy(
+                params, obs_norm=obs_norm, deterministic=True
+            )
         ev = jax.jit(make_eval_fn(
             ref_benv, args.eval_steps, policy, success_criterion(args.env_id)
         ))

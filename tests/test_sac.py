@@ -187,3 +187,65 @@ def test_sac_trains_on_pallas_full():
     state, metrics = jax.jit(trainer.train_step)(state, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_nstep_vectorized_matches_loop_reference():
+    """Property test: the vectorized chain walk must agree with a plain
+    Python reference implementation on random ring contents, across
+    fill levels (partial, full, wrapped) and n_step values."""
+    rng = np.random.default_rng(7)
+    stride, n_cap = 4, 8  # capacity = 32
+    c = stride * n_cap
+    for n_step in (1, 3, 5):
+        for n_inserts in (3, n_cap, n_cap + 5):  # partial / full / wrapped
+            buf = Buffer.init(c, 2, 1)
+            for t in range(n_inserts):
+                o = jnp.asarray(rng.normal(size=(stride, 2)), jnp.float32)
+                no = o + 1000.0
+                r = jnp.asarray(rng.normal(size=(stride,)), jnp.float32)
+                d = jnp.asarray(rng.random(stride) < 0.2, jnp.float32)
+                b = jnp.maximum(
+                    d, jnp.asarray(rng.random(stride) < 0.1, jnp.float32)
+                )
+                buf = buf.add_batch(o, jnp.zeros((stride, 1)), r, no, d, b)
+            gamma = 0.9
+            key = jax.random.PRNGKey(n_step * 100 + n_inserts)
+            o, a, g, boot, disc = buf.sample_nstep(
+                key, 64, stride=stride, n_step=n_step, gamma=gamma
+            )
+            # reference walk, straight from the docstring contract
+            filled = int(buf.filled)
+            start = (int(buf.ptr) - filled) % c
+            span = (n_step - 1) * stride
+            off = np.asarray(
+                jax.random.randint(key, (64,), 0, max(filled - span, 1))
+            )
+            R = np.asarray(buf.reward)
+            D = np.asarray(buf.done)
+            Bd = np.asarray(buf.boundary)
+            NO = np.asarray(buf.next_obs)
+            O = np.asarray(buf.obs)
+            for i in range(64):
+                base = (start + off[i]) % c
+                gg, alive = 0.0, 1.0
+                eb, ed = None, None
+                for k in range(n_step):
+                    pos = (base + k * stride) % c
+                    if alive:
+                        gg += (gamma ** k) * R[pos]
+                    unwritten = (
+                        k < n_step - 1
+                        and (off[i] + (k + 1) * stride) >= filled
+                    )
+                    is_last = alive and (
+                        Bd[pos] > 0 or k == n_step - 1 or unwritten
+                    )
+                    if is_last and eb is None:
+                        eb = NO[pos]
+                        ed = (gamma ** (k + 1)) * (1.0 - D[pos])
+                    if Bd[pos] > 0 or unwritten:
+                        alive = 0.0
+                np.testing.assert_allclose(np.asarray(g)[i], gg, rtol=2e-5)
+                np.testing.assert_allclose(np.asarray(boot)[i], eb, rtol=1e-6)
+                np.testing.assert_allclose(np.asarray(disc)[i], ed, rtol=2e-6)
+                np.testing.assert_allclose(np.asarray(o)[i], O[base], rtol=1e-6)

@@ -58,6 +58,7 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         time_step: float = 0.025,
         curriculum: bool = False,
         catch_scale: float = 1.0,
+        aim_shaping: float = 0.0,
     ):
         super().__init__(field_type, n_blue=2, n_yellow=0, time_step=time_step)
         self.obs_size = 4 + 6 * self.n_blue
@@ -80,6 +81,13 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         # that the >= 1 m task alone does not.  Evaluate on a
         # default-constructed env (reference-exact resets).
         self.curriculum = curriculum
+        # Training-time extension (NOT reference behavior): when the ball
+        # is in flight (speed > 1 m/s), add
+        # ``-aim_shaping * angle(ball_v, ball->receiver)`` — a dense
+        # gradient on the aim error itself, the quantity whose ~±0.01 rad
+        # tolerance makes the sparse pass reward unlearnable from scratch
+        # (docs/training.md).  0 disables (default, reference-exact).
+        self.aim_shaping = float(aim_shaping)
         f = self.field
         self.ball_grad_scale = float(
             np.linalg.norm([f.width / 2, f.length / 2]) / 4
@@ -236,6 +244,15 @@ class SSLPassEnduranceEnv(SSLTaskBase):
         reward = (
             jnp.where(received, 1.0, ball_grad) + jnp.where(wrong, -1.0, 0.0)
         )
+        if self.aim_shaping:
+            bvx, bvy = world.ball.v_x, world.ball.v_y
+            speed = jnp.sqrt(bvx * bvx + bvy * bvy)
+            tx, ty = rx - bx, ry - by
+            cosang = (bvx * tx + bvy * ty) / (
+                speed * jnp.sqrt(tx * tx + ty * ty) + 1e-6
+            )
+            aim_err = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+            reward = reward - self.aim_shaping * aim_err * (speed > 1.0)
         done = received | wrong
 
         # reversed_dist written at done (reference :146-155)

@@ -53,6 +53,15 @@ def main():
     p.add_argument("--env-steps-per-iter", type=int, default=1,
                    help="batched env steps collected per iteration; raising "
                    "it lowers the update:data ratio (throughput knob)")
+    p.add_argument("--buffer-size", type=int, default=1 << 18,
+                   help="replay capacity; scale with --envs to keep the "
+                   "ring's history length (capacity/envs iterations) "
+                   "constant — too-short history destabilises Q learning")
+    p.add_argument("--init-alpha", type=float, default=0.1,
+                   help="initial SAC temperature (exploration)")
+    p.add_argument("--warmup", type=int, default=50,
+                   help="iterations of uniform-random actions before "
+                   "policy collection (replay seeding)")
     p.add_argument("--env-kwargs", default="{}",
                    help="JSON kwargs for the TRAINING env (e.g. curriculum);"
                    " evaluation always runs the default reference-exact env")
@@ -101,9 +110,11 @@ def main():
     trainer = SACTrainer(
         benv,
         SACConfig(
-            batch_size=args.batch_size, warmup_steps=50,
+            buffer_size=args.buffer_size,
+            batch_size=args.batch_size, warmup_steps=args.warmup,
             grad_steps_per_iter=args.grad_steps,
             env_steps_per_iter=args.env_steps_per_iter,
+            init_alpha=args.init_alpha,
             reward_scale=args.reward_scale,
             target_entropy_scale=args.target_entropy_scale,
             n_step=args.n_step, gamma=args.gamma,

@@ -59,6 +59,7 @@ def main():
                    "constant — too-short history destabilises Q learning")
     p.add_argument("--init-alpha", type=float, default=0.1,
                    help="initial SAC temperature (exploration)")
+    p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--warmup", type=int, default=50,
                    help="iterations of uniform-random actions before "
                    "policy collection (replay seeding)")
@@ -115,6 +116,7 @@ def main():
             grad_steps_per_iter=args.grad_steps,
             env_steps_per_iter=args.env_steps_per_iter,
             init_alpha=args.init_alpha,
+            lr=args.lr,
             reward_scale=args.reward_scale,
             target_entropy_scale=args.target_entropy_scale,
             n_step=args.n_step, gamma=args.gamma,

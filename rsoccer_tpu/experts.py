@@ -118,6 +118,182 @@ def dribbling_expert(state, carry_speed=1.2, dip_speed=0.6, fetch_speed=1.5,
     return jnp.clip(action, -1.0, 1.0)
 
 
+def static_defenders_expert(
+    state,
+    field,
+    kp=3.0,
+    kw=5.0,
+    w_max=6.0,
+    fetch_speed=1.5,
+    carry_speed=0.7,
+    avoid_radius=0.45,
+    avoid_gain=3.0,
+    clear_need=0.25,
+    brake=40.0,
+    w_tol=0.5,
+    n_targets=9,
+):
+    """Scripted SSLStaticDefenders policy: state -> action Box(5) in [-1,1].
+
+    Strategy (branch-free):
+
+    1. **Shot selection** — ``n_targets`` candidate aim points spread
+       across the goal mouth; for each, the clearance of the ball->target
+       segment from every defender; pick the widest lane (ties break
+       toward the goal center).
+    2. **Fetch** (no ball): face-point control onto a pre-point ~0.14 m
+       BEHIND the ball along the shot line (so capture leaves the robot
+       aimed goalward), switching to the ball itself once roughly behind
+       it; dribbler on.
+    3. **Carry/aim** (infrared): rotate onto the shot line with the
+       time-optimal braking profile (see pass_endurance_expert); push
+       toward the goal at ``carry_speed`` while aligned.  Defender
+       repulsion steers around contact (any touched defender that moves
+       does NOT terminate here — unlike Dribbling — but contact risks
+       knocking the ball out).
+    4. **Kick** the moment the heading error is inside the distance-scaled
+       goal-mouth tolerance, the lane clearance exceeds ``clear_need``,
+       and the ball is seated on the face.
+    5. **Safety clamps** — never command into the GK area (terminal,
+       static_defenders.py:183-186) or the field margins.
+
+    ``field`` is the env's FieldParams (geometry enters symbolically, no
+    hard-coded dimensions).  Completes the reference task by construction
+    — regression-tested in tests/test_experts.py — and provides the BC
+    seed for the close-quarters skill prior (docs/training.md).
+    """
+    f = field
+    world = state.world
+    rb = world.robots
+    rx, ry, theta, w = rb.x[0], rb.y[0], rb.theta[0], rb.v_theta[0]
+    bx, by = world.ball.x, world.ball.y
+    dx, dy = rb.x[1:], rb.y[1:]  # (6,) static defenders
+
+    half_len, half_wid = f.half_length, f.half_width
+    half_goal = f.goal_width / 2
+
+    # ---- 1. widest shooting lane ------------------------------------
+    ty = jnp.linspace(-0.8, 0.8, n_targets) * half_goal  # candidate aims
+    gx = half_len + 0.02
+    # distance of each defender to each segment ball -> (gx, ty_k)
+    sx_ = jnp.full_like(ty, gx - bx)  # (K,) — same x reach for every lane
+    sy_ = ty - by  # (K,)
+    seg_len2 = jnp.maximum(sx_**2 + sy_**2, 1e-6)
+    # projection parameter t of each defender onto each segment: (K, 6)
+    t = ((dx[None, :] - bx) * sx_[:, None] + (dy[None, :] - by) * sy_[:, None]) / seg_len2[:, None]
+    t = jnp.clip(t, 0.0, 1.0)
+    px = bx + t * sx_[:, None]
+    py = by + t * sy_[:, None]
+    clr = jnp.min(
+        jnp.hypot(dx[None, :] - px, dy[None, :] - py), axis=1
+    )  # (K,) lane clearance
+    # prefer central targets on ties: tiny centrality bonus
+    score = clr - 0.02 * jnp.abs(ty) / jnp.maximum(half_goal, 1e-6)
+    k_best = jnp.argmax(score)
+    aim_y = ty[k_best]
+    clearance = clr[k_best]
+
+    shot_dir = jnp.arctan2(aim_y - by, gx - bx)  # ball -> goal lane
+    c_dir, s_dir = jnp.cos(shot_dir), jnp.sin(shot_dir)
+
+    # ---- 2. fetch ----------------------------------------------------
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    fx, fy = rx + _FACE * c, ry + _FACE * s
+    has_ball = rb.infrared[0]
+
+    pre_x, pre_y = bx - 0.14 * c_dir, by - 0.14 * s_dir  # behind the ball
+    behind = (
+        jnp.hypot(rx - pre_x, ry - pre_y) < 0.12
+    ) | (((rx - bx) * c_dir + (ry - by) * s_dir) < -0.05)
+    tgt_x = jnp.where(behind, bx, pre_x)
+    tgt_y = jnp.where(behind, by, pre_y)
+    vx_f = kp * (tgt_x - fx)
+    vy_f = kp * (tgt_y - fy)
+    fetch_theta = jnp.arctan2(by - ry, bx - rx)
+
+    # ---- 3. carry / aim ---------------------------------------------
+    err = _wrap(shot_dir - theta)
+    aligned = jnp.clip(jnp.cos(err), 0.0, 1.0) ** 2
+    vx_c = carry_speed * aligned * c_dir
+    vy_c = carry_speed * aligned * s_dir
+
+    vx = jnp.where(has_ball, vx_c, vx_f)
+    vy = jnp.where(has_ball, vy_c, vy_f)
+    head_err = jnp.where(has_ball, err, _wrap(fetch_theta - theta))
+
+    # defender repulsion (both phases): steer around nearby defenders
+    dd = jnp.hypot(rx - dx, ry - dy)
+    push = jnp.maximum(0.0, avoid_radius - dd) / avoid_radius  # (6,)
+    vx = vx + avoid_gain * jnp.sum(push * (rx - dx) / jnp.maximum(dd, 1e-3))
+    vy = vy + avoid_gain * jnp.sum(push * (ry - dy) / jnp.maximum(dd, 1e-3))
+
+    # ---- 5. safety clamps -------------------------------------------
+    # GK area is terminal for the ROBOT: proportional barrier caps the
+    # inward velocity so the approach can come arbitrarily close to the
+    # line without ever crossing it (a hard vx=0 clamp deadlocks fetches
+    # of balls spawned near the area edge)
+    gk_limit = half_len - f.penalty_length - 0.15
+    band_hi = f.penalty_width / 2 + 0.12
+    in_gk_band = jnp.abs(ry) < band_hi
+    vx = jnp.where(in_gk_band, jnp.minimum(vx, 4.0 * (gk_limit - rx)), vx)
+    # ...and bar SIDE entry: when already deeper than the x barrier, cap
+    # the lateral velocity toward the band the same way
+    in_deep = rx > gk_limit
+    vy = jnp.where(
+        in_deep & (ry > 0), jnp.maximum(vy, -4.0 * (ry - band_hi)), vy
+    )
+    vy = jnp.where(
+        in_deep & (ry <= 0), jnp.minimum(vy, 4.0 * (-ry - band_hi)), vy
+    )
+    # field margins (robot out is terminal at x < -0.2 / |y| > half_wid)
+    vx = jnp.maximum(vx, 4.0 * (0.05 - rx))
+    vy = jnp.where(
+        jnp.abs(ry) > half_wid - 0.15,
+        jnp.where(ry > 0, jnp.minimum(vy, 0.0), jnp.maximum(vy, 0.0)),
+        vy,
+    )
+
+    v_norm = jnp.hypot(vx, vy)
+    cap = jnp.where(has_ball, carry_speed, fetch_speed)
+    scale = jnp.minimum(1.0, cap / jnp.maximum(v_norm, 1e-8))
+    vx, vy = vx * scale, vy * scale
+
+    # time-optimal rotate (see pass_endurance_expert)
+    mag = jnp.minimum(
+        jnp.sqrt(2.0 * brake * jnp.abs(head_err)), 30.0 * jnp.abs(head_err)
+    )
+    w_des = jnp.sign(head_err) * jnp.minimum(w_max, mag)
+
+    # ---- 4. kick gate: exact, on the ACTUAL heading -----------------
+    # The kick releases the ball along the robot's heading (it REPLACES
+    # ball velocity, physics/ssl.py), so gate on where THIS heading sends
+    # it — not on the intended lane: (a) the predicted goal-line crossing
+    # must be inside the mouth with a post margin, and (b) the heading ray
+    # must clear every defender by more than a robot+ball radius.
+    hx, hy = jnp.cos(theta), jnp.sin(theta)
+    reach = (half_len - bx) / jnp.maximum(hx, 0.05)
+    y_pred = by + hy * reach
+    on_target = (hx > 0.2) & (jnp.abs(y_pred) < half_goal - 0.06)
+    t_ray = jnp.clip(
+        ((dx - bx) * hx + (dy - by) * hy), 0.0, jnp.maximum(reach, 0.0)
+    )
+    ray_clear = jnp.min(
+        jnp.hypot(dx - (bx + t_ray * hx), dy - (by + t_ray * hy))
+    )
+    kick = (
+        has_ball
+        & on_target
+        & (jnp.abs(w) < w_tol)
+        & (ray_clear > 0.16)
+    )
+
+    action = jnp.stack([
+        vx / 2.5, vy / 2.5, w_des / 10.0,
+        jnp.where(kick, 1.0, 0.0), jnp.asarray(1.0),
+    ])
+    return jnp.clip(action, -1.0, 1.0)
+
+
 def pass_endurance_expert(state, brake=40.0, w_max=6.0, base_tol=0.015,
                           w_tol=0.3, lead=0.0125):
     """Scripted SSLPassEndurance policy: state -> action Box(3) in [-1, 1].

@@ -99,3 +99,46 @@ def test_dribbling_expert_from_curriculum_spawns():
     # the ball in awkward window positions — expect a strong majority, not
     # perfection (measured 54/64 at tuning time)
     assert int(comp.sum()) >= int(0.6 * B)
+
+
+def test_static_defenders_expert_scores_most_episodes():
+    """The scripted SD expert must clear ~90% goals on reference-exact
+    resets — proving by construction that fetch-behind-ball, carry with
+    defender avoidance, and the exact heading-ray kick gate compose to
+    beat the task under this physics (tuning-time measurement: ~95% over
+    3k+ episodes; threshold leaves CI headroom)."""
+    import functools
+
+    from rsoccer_tpu.batch.vecenv import BatchedEnv
+    from rsoccer_tpu.experts import static_defenders_expert
+
+    env = rsoccer_tpu.make("SSLStaticDefenders-v0")
+    benv = BatchedEnv(env, 64)
+    expert_v = jax.vmap(
+        functools.partial(static_defenders_expert, field=env.field),
+        in_axes=-1, out_axes=-1,
+    )
+
+    @jax.jit
+    def run(key):
+        kr, ks = jax.random.split(key)
+        st, obs = benv.reset(kr)
+
+        def body(carry, key):
+            st, obs = carry
+            act = expert_v(st)
+            st, obs, r, term, trunc, info = benv.step(st, act, key)
+            done = term | trunc
+            win = done & (r >= 4.5)
+            gk = done * info["rbt_in_gk_area"]
+            return (st, obs), (done.sum(), win.sum(), gk.sum())
+
+        keys = jax.random.split(ks, 700)
+        _, (d, w, g) = jax.lax.scan(body, (st, obs), keys)
+        return d.sum(), w.sum(), g.sum()
+
+    d, w, g = map(float, run(jax.random.PRNGKey(3)))
+    assert d >= 200, f"too few episodes finished ({d})"
+    assert w / d >= 0.88, f"expert goal rate {w/d:.3f} below floor"
+    # the GK-area barrier must hold exactly
+    assert g == 0, f"expert entered the GK area {g} times"

@@ -33,14 +33,22 @@ enable_persistent_cache()
 
 import rsoccer_tpu
 from rsoccer_tpu.batch.vecenv import BatchedEnv
-from rsoccer_tpu.experts import dribbling_expert, pass_endurance_expert
+from rsoccer_tpu.experts import (
+    dribbling_expert,
+    pass_endurance_expert,
+    static_defenders_expert,
+)
 from rsoccer_tpu.models.networks import ActorCritic
 from rsoccer_tpu.models.ppo import ObsNorm, PPOTrainer
 from rsoccer_tpu.utils import checkpoint
 
+# env -> expert factory (some experts need the env's field geometry)
 EXPERTS = {
-    "SSLDribbling-v0": dribbling_expert,
-    "SSLPassEndurance-v0": pass_endurance_expert,
+    "SSLDribbling-v0": lambda env: dribbling_expert,
+    "SSLPassEndurance-v0": lambda env: pass_endurance_expert,
+    "SSLStaticDefenders-v0": lambda env: (
+        lambda state: static_defenders_expert(state, field=env.field)
+    ),
 }
 
 
@@ -77,8 +85,8 @@ def main():
     )
     args = p.parse_args()
 
-    expert = EXPERTS[args.env_id]
     env = rsoccer_tpu.make(args.env_id, curriculum=bool(args.curriculum))
+    expert = EXPERTS[args.env_id](env)
     benv = BatchedEnv(env, args.envs)
     expert_v = jax.vmap(expert, in_axes=-1, out_axes=-1)
 

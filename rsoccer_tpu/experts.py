@@ -18,6 +18,7 @@ the trailing robot 0.177-0.180 m from an on-axis yellow (contact: 0.18).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rsoccer_tpu.envs.ssl_dribbling import MARGIN, NODES
@@ -189,9 +190,14 @@ def static_defenders_expert(
     )  # (K,) lane clearance
     # prefer central targets on ties: tiny centrality bonus
     score = clr - 0.02 * jnp.abs(ty) / jnp.maximum(half_goal, 1e-6)
-    k_best = jnp.argmax(score)
-    aim_y = ty[k_best]
-    clearance = clr[k_best]
+    # SOFT lane choice: clearance-softmax instead of argmax.  An argmax
+    # flips the aim discontinuously under tiny obs changes, which makes
+    # the state->action mapping effectively multimodal and un-clonable
+    # (MSE regression averages the lanes; the argmax expert cloned to 9%).
+    # At aim_tau -> 0 this recovers the argmax.
+    wts = jax.nn.softmax(score / 0.08)
+    aim_y = jnp.sum(wts * ty)
+    clearance = jnp.sum(wts * clr)
 
     shot_dir = jnp.arctan2(aim_y - by, gx - bx)  # ball -> goal lane
     c_dir, s_dir = jnp.cos(shot_dir), jnp.sin(shot_dir)
@@ -289,7 +295,12 @@ def static_defenders_expert(
 
     action = jnp.stack([
         vx / 2.5, vy / 2.5, w_des / 10.0,
-        jnp.where(kick, 1.0, 0.0), jnp.asarray(1.0),
+        # +-1 (not {0,1}): the env's kick gate is a3 > 0, and a symmetric
+        # binary target keeps an MSE-cloned head safely on the right side
+        # of the threshold (a {0,1} target regresses the rare kick=1 class
+        # toward 0 and the clone never fires — measured 5% clone vs 96%
+        # expert with identical per-dim residuals)
+        jnp.where(kick, 1.0, -1.0), jnp.asarray(1.0),
     ])
     return jnp.clip(action, -1.0, 1.0)
 

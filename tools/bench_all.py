@@ -28,10 +28,12 @@ ALL_IDS = [
 ]
 
 
-def run_point(env_id: str, n_envs: int, timeout_s: int = 1800) -> dict:
+def run_point(env_id: str, n_envs: int, mode: str = "", timeout_s: int = 1800) -> dict:
     env = dict(os.environ)
     env["RSOCCER_BENCH_ENV_ID"] = env_id
     env["RSOCCER_BENCH_ENVS"] = str(n_envs)
+    if mode:
+        env["RSOCCER_BENCH_PALLAS"] = mode
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -44,7 +46,12 @@ def run_point(env_id: str, n_envs: int, timeout_s: int = 1800) -> dict:
     rec = json.loads(line)
     rec["env_id"] = env_id
     rec["n_envs"] = n_envs
-    print(f"{env_id:28s} @ {n_envs:6d}: {rec['value'] / 1e6:8.1f}M steps/s")
+    if mode:
+        rec["mode"] = mode
+    print(
+        f"{env_id:28s} @ {n_envs:6d} {mode or 'default':9s}: "
+        f"{rec['value'] / 1e6:8.1f}M steps/s"
+    )
     return rec
 
 
@@ -53,6 +60,12 @@ def main():
     p.add_argument("--envs", type=int, default=8192)
     p.add_argument("--ids", default=",".join(ALL_IDS))
     p.add_argument("--sweep", default="", help="comma list of batch sizes")
+    p.add_argument(
+        "--modes", default="",
+        help="comma list of RSOCCER_BENCH_PALLAS modes to sweep, e.g. "
+        "'0,full,full-krng' (0 = plain XLA, full = fused kernel with "
+        "input noise, full-krng = fused kernel with in-kernel TPU RNG)",
+    )
     p.add_argument("--out", default="artifacts/bench_all.json")
     args = p.parse_args()
 
@@ -60,7 +73,8 @@ def main():
     sizes = (
         [int(s) for s in args.sweep.split(",") if s] if args.sweep else [args.envs]
     )
-    results = [run_point(i, n) for i in ids for n in sizes]
+    modes = [s for s in args.modes.split(",") if s] or [""]
+    results = [run_point(i, n, m) for i in ids for n in sizes for m in modes]
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -129,7 +129,6 @@ def static_defenders_expert(
     carry_speed=0.7,
     avoid_radius=0.45,
     avoid_gain=3.0,
-    clear_need=0.25,
     brake=40.0,
     w_tol=0.5,
     n_targets=9,
@@ -152,9 +151,9 @@ def static_defenders_expert(
        repulsion steers around contact (any touched defender that moves
        does NOT terminate here — unlike Dribbling — but contact risks
        knocking the ball out).
-    4. **Kick** the moment the heading error is inside the distance-scaled
-       goal-mouth tolerance, the lane clearance exceeds ``clear_need``,
-       and the ball is seated on the face.
+    4. **Kick** gated on the ACTUAL release heading: the predicted
+       goal-line crossing must land inside the mouth with a post margin
+       and the heading ray must clear every defender.
     5. **Safety clamps** — never command into the GK area (terminal,
        static_defenders.py:183-186) or the field margins.
 
@@ -197,7 +196,6 @@ def static_defenders_expert(
     # At aim_tau -> 0 this recovers the argmax.
     wts = jax.nn.softmax(score / 0.08)
     aim_y = jnp.sum(wts * ty)
-    clearance = jnp.sum(wts * clr)
 
     shot_dir = jnp.arctan2(aim_y - by, gx - bx)  # ball -> goal lane
     c_dir, s_dir = jnp.cos(shot_dir), jnp.sin(shot_dir)
